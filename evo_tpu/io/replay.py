@@ -1,0 +1,212 @@
+"""Deterministic replay and window batching.
+
+Two facades over a `Davis240cDataset`:
+
+1. `Replayer` — a timestamp-ordered two-stream merge with subscriber
+   callbacks, capability-equivalent to the reference's replayer
+   (`tools/replayer/include/replayer/replayer.h:25-93`,
+   `src/replayer.cpp:56-128`): events and images are emitted one at a time in
+   global timestamp order (event wins ties, like the `<=` comparison at
+   `replayer.cpp:74`), with `next()` / `next_interval(µs)` / `next_image()` /
+   `finished()` / `reset()` stepping modes. Kept for deterministic parity
+   testing and interactive stepping; the TPU pipeline itself uses:
+
+2. `FrameWindowIterator` — the bulk-synchronous TPU-native replacement: for
+   each camera frame k it yields *all* events in [t_{k-1}, t_k) as one padded
+   struct-of-arrays batch (np.searchsorted over the presorted stream — the
+   merge loop collapses into two binary searches per frame), which is what
+   gets shipped to the device. Sub-windows for compensation (15 k events /
+   300 ms, `evaluator.h:21-22`) are cut the same way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from evo_tpu.io.davis import Davis240cDataset, EventArrays
+
+EventCallback = Callable[[int, int, int, int], None]  # (t_us, x, y, p)
+ImageCallback = Callable[[int, np.ndarray], None]  # (t_us, image)
+
+
+class Replayer:
+    """Timestamp-ordered merge of the event and image streams with pub-sub
+    callbacks (reference parity: `replayer.cpp:56-128`)."""
+
+    def __init__(self, dataset: Davis240cDataset):
+        self.dataset = dataset
+        self._event_callbacks: list[EventCallback] = []
+        self._image_callbacks: list[ImageCallback] = []
+        self.reset()
+
+    def add_event_callback(self, cb: EventCallback) -> None:
+        self._event_callbacks.append(cb)
+
+    def add_image_callback(self, cb: ImageCallback) -> None:
+        self._image_callbacks.append(cb)
+
+    def reset(self) -> None:
+        self._ei = 0  # next event index
+        self._ii = 0  # next image index
+
+    def finished(self) -> bool:
+        # Like the reference (replayer.cpp:42-45): done when either stream
+        # is exhausted.
+        ev_done = self._ei >= len(self.dataset.events)
+        im_done = self._ii >= self.dataset.num_images
+        return ev_done or im_done
+
+    def _head_times(self) -> tuple[int, int]:
+        ev = self.dataset.events
+        t_ev = int(ev.t_us[self._ei]) if self._ei < len(ev) else None
+        t_im = (
+            int(self.dataset.image_t_us[self._ii])
+            if self._ii < self.dataset.num_images
+            else None
+        )
+        return t_ev, t_im
+
+    def next(self) -> int | None:
+        """Emit the single earliest sample; returns its timestamp (µs)."""
+        t_ev, t_im = self._head_times()
+        if t_ev is None and t_im is None:
+            return None
+        if t_im is None or (t_ev is not None and t_ev <= t_im):
+            ev = self.dataset.events
+            i = self._ei
+            for cb in self._event_callbacks:
+                cb(int(ev.t_us[i]), int(ev.x[i]), int(ev.y[i]), int(ev.p[i]))
+            self._ei += 1
+            return t_ev
+        img = self.dataset.image(self._ii)
+        for cb in self._image_callbacks:
+            cb(t_im, img)
+        self._ii += 1
+        return t_im
+
+    def next_interval(self, interval_us: int) -> None:
+        """Emit all samples within the next `interval_us` of stream time
+        (replayer.cpp:106-118)."""
+        t_ev, t_im = self._head_times()
+        heads = [t for t in (t_ev, t_im) if t is not None]
+        if not heads:
+            return
+        t_end = min(heads) + interval_us
+        while not self.finished():
+            t_ev, t_im = self._head_times()
+            heads = [t for t in (t_ev, t_im) if t is not None]
+            if not heads or min(heads) >= t_end:
+                break
+            self.next()
+
+    def next_image(self) -> None:
+        """Emit samples up to and including the next image (replayer.cpp:120-128)."""
+        start_ii = self._ii
+        while not self.finished() and self._ii == start_ii:
+            self.next()
+
+
+@dataclasses.dataclass
+class FrameWindow:
+    """All events between the previous and current frame, plus the frame."""
+
+    frame_idx: int
+    t_start_us: int  # inclusive
+    t_end_us: int  # exclusive (= frame timestamp)
+    events: EventArrays  # events with t_start_us <= t < t_end_us
+    image: np.ndarray | None  # [H, W] float32, None if images not loaded
+    image_t_us: int
+
+
+class FrameWindowIterator:
+    """Bulk-synchronous frame windows — the TPU-native replay primitive.
+
+    Frame k's window covers [t_{k-1}, t_k) (the first window starts at the
+    first event). Events are located with binary search on the presorted
+    int64 timestamp array; no per-event Python work happens here.
+    """
+
+    def __init__(self, dataset: Davis240cDataset, load_images: bool = True):
+        self.dataset = dataset
+        self.load_images = load_images
+        ev_t = dataset.events.t_us
+        img_t = dataset.image_t_us
+        # event index of each frame boundary
+        self._bounds = np.searchsorted(ev_t, img_t, side="left")
+        self._k = 0
+
+    def __iter__(self):
+        self._k = 0
+        return self
+
+    def __len__(self) -> int:
+        return self.dataset.num_images
+
+    def __next__(self) -> FrameWindow:
+        k = self._k
+        if k >= self.dataset.num_images:
+            raise StopIteration
+        self._k += 1
+        lo = 0 if k == 0 else int(self._bounds[k - 1])
+        hi = int(self._bounds[k])
+        ds = self.dataset
+        t_end = int(ds.image_t_us[k])
+        t_start = int(ds.events.t_us[0]) if k == 0 and len(ds.events) else (
+            int(ds.image_t_us[k - 1]) if k > 0 else t_end
+        )
+        return FrameWindow(
+            frame_idx=k,
+            t_start_us=t_start,
+            t_end_us=t_end,
+            events=ds.events.slice(lo, hi),
+            image=ds.image(k) if self.load_images else None,
+            image_t_us=t_end,
+        )
+
+
+def cut_subwindows(
+    events: EventArrays, max_events: int = 15_000, max_duration_us: int = 300_000
+):
+    """Split an event stream into compensation sub-windows: a window closes
+    after `max_events` events or `max_duration_us` µs, whichever first — the
+    evaluator's windowing rule (`evaluator.cpp:36-44`, `evaluator.h:21-22`).
+    Returns a list of (lo, hi) index pairs.
+    """
+    out = []
+    n = len(events)
+    lo = 0
+    while lo < n:
+        hi_count = min(lo + max_events, n)
+        hi_time = int(np.searchsorted(events.t_us, events.t_us[lo] + max_duration_us, side="left"))
+        hi = max(lo + 1, min(hi_count, hi_time))
+        out.append((lo, hi))
+        lo = hi
+    return out
+
+
+def interpolate_gt(gt_t_us: np.ndarray, gt_poses: np.ndarray, t_us: int):
+    """SE(3)-interpolated ground-truth pose at time t_us, or None when out of
+    range — the reference's `syncGtAndImage` (`visual_odometry.cpp:522-561`).
+
+    Host-side numpy version (binary search + geodesic interpolation via the
+    core Lie module on small arrays).
+    """
+    import jax.numpy as jnp
+
+    from evo_tpu.core import lie
+
+    n = len(gt_t_us)
+    if n == 0 or t_us < gt_t_us[0] or t_us > gt_t_us[-1]:
+        return None
+    i = int(np.searchsorted(gt_t_us, t_us, side="left"))
+    if gt_t_us[i] == t_us:
+        return gt_poses[i].copy()
+    lo, hi = i - 1, i
+    alpha = (t_us - gt_t_us[lo]) / float(gt_t_us[hi] - gt_t_us[lo])
+    out = lie.se3_interpolate(
+        jnp.asarray(gt_poses[lo]), jnp.asarray(gt_poses[hi]), float(alpha)
+    )
+    return np.asarray(out)

