@@ -74,7 +74,10 @@ def detect_corners(
     in_border = (
         (xs >= border) & (xs < w - border) & (ys >= border) & (ys < h - border)
     )
-    good = is_peak & in_border & (resp > quality_level * jnp.max(resp))
+    # quality threshold relative to the max over the *masked* region (like
+    # OpenCV); the raw max sits on conv border artifacts otherwise
+    qmax = jnp.max(jnp.where(in_border, resp, -jnp.inf))
+    good = is_peak & in_border & (resp > quality_level * qmax) & (resp > 0)
     scores = jnp.where(good, resp, -jnp.inf).ravel()
 
     # top-K candidates (K = generous pool for the greedy distance pass)

@@ -57,10 +57,9 @@ def _track_level(img0, img1, pt0, guess, radius: int, num_iters: int):
         return v + jnp.array([dvx, dvy], v.dtype)
 
     v = jax.lax.fori_loop(0, num_iters, body, guess.astype(img0.dtype))
-    h, w = img1.shape
-    tx, ty = pt0[0] + v[0], pt0[1] + v[1]
-    in_img = (tx >= radius) & (tx < w - radius) & (ty >= radius) & (ty < h - radius)
-    return v, ok_grad & in_img & jnp.all(jnp.isfinite(v))
+    # window overhang at coarse levels is fine (border-replicate sampling,
+    # like OpenCV); the final in-image check happens at level 0 only
+    return v, ok_grad & jnp.all(jnp.isfinite(v))
 
 
 @partial(jax.jit, static_argnames=("num_levels", "radius", "num_iters"))
@@ -95,4 +94,10 @@ def pyramidal_lk(
         flow = v * scale
         status = status & ok
     new_pts = pts + flow
-    return new_pts, flow, status
+    # final landing position must stay inside the full-resolution image
+    h, w = img1.shape
+    in_img = (
+        (new_pts[:, 0] >= 1) & (new_pts[:, 0] < w - 1)
+        & (new_pts[:, 1] >= 1) & (new_pts[:, 1] < h - 1)
+    )
+    return new_pts, flow, status & in_img
