@@ -79,7 +79,7 @@ def _block_sq_norms(r: jax.Array, block_size: int) -> jax.Array:
     jax.jit,
     static_argnames=(
         "residual_fn", "retract", "tangent_dim", "num_iters", "block_size",
-        "huber_delta",
+        "huber_delta", "max_step",
     ),
 )
 def lm_solve(
@@ -97,6 +97,7 @@ def lm_solve(
     lambda_down: float = 0.5,
     min_lambda: float = 1e-9,
     max_lambda: float = 1e6,
+    max_step: float | None = None,
 ) -> LMResult:
     """Dense damped Gauss-Newton / LM with fixed trip count.
 
@@ -110,6 +111,9 @@ def lm_solve(
     block_size : residuals per robust-loss block (1 = per-residual loss,
         2 = reprojection-error blocks as in `visual_odometry.cpp:470-480`).
     huber_delta : Huber threshold; None = pure least squares.
+    max_step : trust-region cap on the tangent-step norm. Guards against
+        pathological jumps into degenerate optima (e.g. warping a patch
+        fully out of the image zeroes the alignment residuals).
     """
     if retract is None:
         assert tangent_dim is None or tangent_dim == jnp.size(x0)
@@ -152,6 +156,9 @@ def lm_solve(
         delta = -jax.scipy.linalg.cho_solve((L, low), g)
         bad = ~jnp.all(jnp.isfinite(delta))
         delta = jnp.where(bad, jnp.zeros_like(delta), delta)
+        if max_step is not None:
+            dn = jnp.linalg.norm(delta)
+            delta = delta * jnp.minimum(1.0, max_step / jnp.maximum(dn, 1e-12))
         x_new = retract(x, delta)
         cost_new = robust_cost(residual_fn(x_new, data))
         accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad

@@ -1,0 +1,274 @@
+"""Batched event-patch alignment — the tracker's core solve.
+
+Replaces the reference's per-patch Ceres LM (`optimizer.cpp:62-206` with
+cost `optimizer_cost.h:29-96`): align the normalized integrated event patch
+against the flow-projected keyframe gradients under an SE(2) warp + flow
+angle. One `vmap`ped LM solves every live patch simultaneously.
+
+Semantics mirrored from the reference:
+- integration: newest `num_of_events` events splatted with nearest-pixel
+  signed accumulation into the *current* rect (`patch.cpp:65-85`),
+  normalized by Frobenius norm (`patch.cpp:157-160`);
+- residual at patch pixel q (absolute image coords a = q + rect.tl):
+  r(q) = pred(q)/sqrt(1e-5 + Σ pred²) + I_norm(q), with
+  pred(q) = g(W·a)·(cos φ, sin φ) and r = 0 outside the image
+  (`optimizer_cost.h:34-91`); alignment drives pred → −I;
+- one robust block: Huber(0.3) on the whole-patch residual norm, Ceres
+  `final_cost = 0.5·ρ(‖r‖²)` (`optimizer.cpp:96-99`); lost when the median
+  of the last 5 final costs exceeds 0.6 (`optimizer.cpp:137-157`);
+- post-solve: φ ← φ mod 2π, rect center ← W⁻¹·init_pt
+  (`patch.cpp:49-63`), time_without_update ← 1e6/max(0.1, ‖Δcenter‖) µs
+  (`optimizer.cpp:166-177`), counter reset (`patch.cpp:160-163`);
+- adaptive event budget from the L1 norm of the warped, flow-projected
+  gradients over the current rect (`feature_detector.cpp:666-712`),
+  clamped to [100, 300]; center within 5 px of the border → lost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.core import lie
+from evo_tpu.kernels import interp
+from evo_tpu.solve.lm import lm_solve
+from evo_tpu.tracker import patch_state as ps
+
+HUBER = 0.3
+MAX_LM_ITERS = 10
+LOST_COST_THRESHOLD = 0.6
+TIME_WITHOUT_UPDATE_SCALE = 1.0  # seconds·px (reference 1e6 µs·px)
+
+
+def integrate_events(table: ps.PatchTable) -> jax.Array:
+    """[P, S, S] signed nearest-pixel event integration over current rects
+    (`Patch::integrateEvents`, patch.cpp:65-85). Events outside the (possibly
+    moved) rect are dropped, like the reference's `patch_.contains` check."""
+    t, x, y, p_sign, valid = ps.newest_events(table)
+    tlx = table.center[:, 0] - ps.PATCH_EXTENT  # [P]
+    tly = table.center[:, 1] - ps.PATCH_EXTENT
+    # relative integer coords (events carry integer pixel positions)
+    rx = jnp.round(x - tlx[:, None]).astype(jnp.int32)
+    ry = jnp.round(y - tly[:, None]).astype(jnp.int32)
+    inside = (rx >= 0) & (rx < ps.PATCH_SIDE) & (ry >= 0) & (ry < ps.PATCH_SIDE)
+    w = jnp.where(valid & inside, p_sign, 0.0)
+    flat = jnp.where(inside, ry * ps.PATCH_SIDE + rx, 0)
+    one_hot_dim = ps.PATCH_SIDE * ps.PATCH_SIDE
+
+    def per_patch(flat_i, w_i):
+        img = jnp.zeros(one_hot_dim, jnp.float32).at[flat_i].add(w_i)
+        return img.reshape(ps.PATCH_SIDE, ps.PATCH_SIDE)
+
+    return jax.vmap(per_patch)(flat, w)
+
+
+def batch_timestamps(table: ps.PatchTable):
+    """(mid, oldest) timestamps of each patch's integration set
+    (patch.cpp:78-84: currentTimestamp = (newest+oldest)/2,
+    timeLastUpdate = oldest)."""
+    t, _, _, _, valid = ps.newest_events(table)
+    big = jnp.float32(1e30)
+    t_min = jnp.min(jnp.where(valid, t, big), axis=1)
+    t_max = jnp.max(jnp.where(valid, t, -big), axis=1)
+    has = jnp.any(valid, axis=1)
+    mid = jnp.where(has, 0.5 * (t_min + t_max), table.cur_t)
+    oldest = jnp.where(has, t_min, table.last_update_t)
+    return mid, oldest
+
+
+def _patch_abs_coords(center):
+    """[(S²), 2] absolute image coords of the rect pixels for a center [2]."""
+    r = jnp.arange(ps.PATCH_SIDE, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(r, r)  # gx varies along columns (x)
+    tl = center - ps.PATCH_EXTENT
+    return jnp.stack([gx.ravel() + tl[0], gy.ravel() + tl[1]], axis=-1)
+
+
+def alignment_residual(params5, data):
+    """Residual vector [(S²)] for one patch.
+
+    params5 = [se2(4), flow(1)]; data = (norm_int [(S²)], grad [H, W, 2],
+    center [2]).
+    """
+    norm_int, grad, center = data
+    se2 = params5[0:4]
+    flow = params5[4]
+    h, w = grad.shape[0], grad.shape[1]
+    pts = _patch_abs_coords(center)
+    wpts = lie.se2_apply(se2, pts)  # warped into keyframe coords
+    inb = (
+        (wpts[:, 0] >= 0.0) & (wpts[:, 0] < w)
+        & (wpts[:, 1] >= 0.0) & (wpts[:, 1] < h)
+    )
+    gx = interp.bicubic(grad[:, :, 0], wpts[:, 1], wpts[:, 0])
+    gy = interp.bicubic(grad[:, :, 1], wpts[:, 1], wpts[:, 0])
+    pred = gx * jnp.cos(flow) + gy * jnp.sin(flow)
+    pred = jnp.where(inb, pred, 0.0)
+    norm_pred = jnp.sqrt(1e-5 + jnp.sum(pred * pred))
+    return jnp.where(inb, pred / norm_pred + norm_int, 0.0)
+
+
+def _retract5(x, d):
+    """SE2 right-plus on the warp + additive flow angle (tangent dim 4)."""
+    return jnp.concatenate([lie.se2_retract(x[0:4], d[0:3]), x[4:5] + d[3:4]])
+
+
+def _solve_one(params5, data):
+    res = lm_solve(
+        alignment_residual,
+        params5,
+        data,
+        retract=_retract5,
+        tangent_dim=4,
+        num_iters=MAX_LM_ITERS,
+        block_size=ps.PATCH_SIDE * ps.PATCH_SIDE,
+        huber_delta=HUBER,
+        init_lambda=1e-4,
+        # trust region: a single LM step may move the patch by at most half
+        # its extent, so the solver cannot teleport the patch out of the
+        # image (where all residuals are zeroed => spurious global optimum)
+        max_step=float(ps.PATCH_EXTENT) / 2.0,
+    )
+    return res.x, 0.5 * res.cost  # Ceres' final_cost convention
+
+
+def update_num_of_events(table: ps.PatchTable, grad, lost_border: int = 5):
+    """Batched `FeatureDetector::updateNumOfEvents`
+    (feature_detector.cpp:666-712): border-lost check, then event budget
+    from the warped flow-projected gradient L1 norm (×0.6), clamped.
+    `grad` [H, W, 2] is the *latest* detection frame's gradient pair."""
+    h, w = grad.shape[0], grad.shape[1]
+    cx, cy = table.center[:, 0], table.center[:, 1]
+    border_lost = (
+        (cx <= lost_border) | (cy <= lost_border)
+        | (cx >= w - lost_border) | (cy >= h - lost_border)
+    )
+    tl = table.center - ps.PATCH_EXTENT
+    rect_oob = (
+        (tl[:, 0] < 0) | (tl[:, 1] < 0)
+        | (tl[:, 0] + ps.PATCH_SIDE >= w) | (tl[:, 1] + ps.PATCH_SIDE >= h)
+    )
+
+    def budget_one(se2, flow, center):
+        pts = _patch_abs_coords(center)
+        wpts = lie.se2_apply(se2, pts)
+        gx = interp.bicubic(grad[:, :, 0], wpts[:, 1], wpts[:, 0])
+        gy = interp.bicubic(grad[:, :, 1], wpts[:, 1], wpts[:, 0])
+        return jnp.sum(jnp.abs(0.6 * (gx * jnp.cos(flow) + gy * jnp.sin(flow))))
+
+    raw = jax.vmap(budget_one)(table.warp, table.flow, table.center)
+    budget = jnp.clip(raw.astype(jnp.int32), ps.MIN_NUM_EVENTS, ps.MAX_NUM_EVENTS)
+    new_budget = jnp.where(
+        rect_oob, ps.INIT_NUM_EVENTS, budget
+    ).astype(jnp.int32)
+    apply = table.alive & ~border_lost
+    return dataclasses.replace(
+        table,
+        alive=table.alive & ~border_lost,
+        num_of_events=jnp.where(apply, new_budget, table.num_of_events),
+    )
+
+
+@jax.jit
+def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
+    """Run the alignment solve for every ready patch and apply the
+    reference's post-solve updates. `grads` [SLOTS, H, W, 2] is the
+    gradient-frame store; each patch samples its own birth-frame slot.
+
+    Returns (new_table, info dict with per-patch cost / ran mask / lost).
+    """
+    ready = ps.is_ready(table) & table.alive & table.initialized
+
+    integrated = integrate_events(table)  # [P, S, S]
+    frob = jnp.sqrt(jnp.sum(integrated**2, axis=(1, 2))) + 1e-12
+    norm_int = (integrated / frob[:, None, None]).reshape(table.capacity, -1)
+
+    grad_per_patch = grads[table.grad_slot]  # [P, H, W, 2]
+    params0 = jnp.concatenate([table.warp, table.flow[:, None]], axis=-1)
+
+    new_params, cost = jax.vmap(_solve_one)(
+        params0, (norm_int, grad_per_patch, table.center)
+    )
+
+    mid_t, oldest_t = batch_timestamps(table)
+
+    # roll final-cost history and compute median-of-5 lost filter
+    hist = jnp.where(
+        ready[:, None],
+        jnp.concatenate([table.final_costs[:, 1:], cost[:, None]], axis=1),
+        table.final_costs,
+    )
+    n_costs = table.n_costs + ready.astype(jnp.int32)
+    med = jnp.median(hist, axis=1)
+    lost = ready & (n_costs >= 5) & (med > LOST_COST_THRESHOLD)
+
+    upd = ready & ~lost
+    warp_new = jnp.where(upd[:, None], new_params[:, 0:4], table.warp)
+    flow_new = jnp.where(upd, jnp.mod(new_params[:, 4], 2.0 * jnp.pi), table.flow)
+    # rect center = warp^{-1} · init_pt (patch.cpp:49-63)
+    center_new = lie.se2_apply(lie.se2_inverse(warp_new), table.init_pt)
+    center_new = jnp.where(upd[:, None], center_new, table.center)
+    delta = jnp.linalg.norm(center_new - table.center, axis=-1)
+    twu = TIME_WITHOUT_UPDATE_SCALE / jnp.maximum(0.1, delta)
+
+    new_table = dataclasses.replace(
+        table,
+        alive=table.alive & ~lost,
+        warp=warp_new,
+        flow=flow_new,
+        center=center_new,
+        counter=jnp.where(ready, 0, table.counter),  # resetBatch
+        final_costs=hist,
+        n_costs=n_costs,
+        cur_t=jnp.where(ready, mid_t, table.cur_t),
+        last_update_t=jnp.where(ready, oldest_t, table.last_update_t),
+        time_without_update=jnp.where(upd, twu, table.time_without_update),
+    )
+    info = dict(ran=ready, cost=cost, lost=lost, integrated=integrated)
+    return new_table, info
+
+
+def predicted_nabla(table: ps.PatchTable, grads: jax.Array):
+    """[P, S, S] predicted gradient patches −(g(W·a)·(cosφ, sinφ)) — the
+    visualization/debug quantity of `Patch::warpImage` (patch.cpp:139-160)."""
+    grad_per_patch = grads[table.grad_slot]
+
+    def one(se2, flow, center, grad):
+        pts = _patch_abs_coords(center)
+        wpts = lie.se2_apply(se2, pts)
+        gx = interp.bicubic(grad[:, :, 0], wpts[:, 1], wpts[:, 0])
+        gy = interp.bicubic(grad[:, :, 1], wpts[:, 1], wpts[:, 0])
+        out = -(gx * jnp.cos(flow) + gy * jnp.sin(flow))
+        return out.reshape(ps.PATCH_SIDE, ps.PATCH_SIDE)
+
+    return jax.vmap(one)(table.warp, table.flow, table.center, grad_per_patch)
+
+
+def motion_compensated_integration(table: ps.PatchTable, prev_traj_pt, prev_traj_t):
+    """[P, S, S] per-patch translational motion-compensated integration
+    (`Patch::integrateMotionCompensatedEvents`, patch.cpp:87-130): each event
+    is shifted along the segment between the last two trajectory points
+    proportionally to its time offset from the batch midpoint."""
+    t, x, y, p_sign, valid = ps.newest_events(table)
+    mid_t, _ = batch_timestamps(table)
+    dirv = table.center - prev_traj_pt  # [P, 2]
+    t_dif = jnp.maximum(table.cur_t - prev_traj_t, 1e-6)  # [P]
+    shift = (mid_t[:, None] - t) / t_dif[:, None]  # [P, E]
+    cx = x + shift * dirv[:, 0:1]
+    cy = y + shift * dirv[:, 1:2]
+    tlx = table.center[:, 0] - ps.PATCH_EXTENT
+    tly = table.center[:, 1] - ps.PATCH_EXTENT
+    rx = jnp.round(cx - tlx[:, None]).astype(jnp.int32)
+    ry = jnp.round(cy - tly[:, None]).astype(jnp.int32)
+    inside = (rx >= 0) & (rx < ps.PATCH_SIDE) & (ry >= 0) & (ry < ps.PATCH_SIDE)
+    w = jnp.where(valid & inside, p_sign, 0.0)
+    flat = jnp.where(inside, ry * ps.PATCH_SIDE + rx, 0)
+
+    def per_patch(flat_i, w_i):
+        img = jnp.zeros(ps.PATCH_SIDE * ps.PATCH_SIDE, jnp.float32).at[flat_i].add(w_i)
+        return img.reshape(ps.PATCH_SIDE, ps.PATCH_SIDE)
+
+    return jax.vmap(per_patch)(flat, w)

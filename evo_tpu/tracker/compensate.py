@@ -1,0 +1,307 @@
+"""Motion compensation by per-tile contrast (edge) maximization + TV.
+
+Capability counterpart of `FeatureDetector::compensateEventsContrast`
+(`feature_detector.cpp:298-464`) with the functors in
+`contrast_functor.h:10-292` and `total_variance.h:10-22`:
+
+- the sensor plane is cut into 20x20 px tiles (12x9 on DAVIS240C);
+- each tile with > 100 events gets a translational velocity ℓ that warps its
+  events to the window's mid-time, splats them as 7x7 Gaussians (σ=1,
+  1/(2πσ²) normalization) into a 3x-padded tile image, and is scored by an
+  *edge* loss: maxRes − Σ NMS₅ₓ₅(λ₁(structure tensor)) / maxRes, with an
+  escape penalty maxRes·(1+‖ℓ‖²) when all events leave the padded tile;
+- neighboring tiles are coupled by per-component TV residuals w·|ℓp − ℓq|
+  under a Huber(10) loss, w = 1e3;
+- the solved field warps every event (nearest splat of *counts*) into the
+  final motion-compensated image.
+
+TPU redesign: the Ceres SPARSE_NORMAL_CHOLESKY solve becomes a custom
+block-structured LM — each tile residual depends on only its own 2 params,
+so Jacobians are per-tile `jacfwd` with 2 tangents (vmapped across tiles),
+and the TV terms contribute closed-form ±w entries; the damped normal system
+(2T × 2T, T = 108) is solved densely. The Gaussian splat is the separable
+matmul splat from evo_tpu.kernels.splat, differentiable w.r.t. velocities.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu.kernels.splat import splat_image
+from evo_tpu.solve.lm import huber_weights
+
+MAX_RES = 1e3  # maxPossibleResidual_ (contrast_functor.h:283)
+SIGMA_SPLAT = 1.0
+SPLAT_RADIUS = 3
+SIGMA_ST = 1.5
+K_ST = 3
+K_NMS = 2
+GAUSS_NORM = 1.0 / (2.0 * np.pi * SIGMA_SPLAT * SIGMA_SPLAT)
+
+
+@dataclasses.dataclass(frozen=True)
+class CompensateParams:
+    """Mirrors the compensate* fields of DetectorParams (feature_detector.h:23-29)."""
+
+    tile: int = 20
+    tv_weight: float = 1e3
+    tv_huber: float = 10.0
+    scale: float = 1e-3  # µs → ms time scaling of velocities
+    min_events: int = 100
+    max_iters: int = 50
+    events_per_tile_cap: int = 4096
+
+
+def _gauss_kernel2d(sigma, radius, dtype=jnp.float32):
+    r = jnp.arange(-radius, radius + 1, dtype=dtype)
+    g = jnp.exp(-0.5 * (r / sigma) ** 2) * (
+        1.0 / jnp.sqrt(2.0 * jnp.pi * sigma * sigma)
+    )
+    return g
+
+
+def tile_edge_loss(img):
+    """The edge score Σ NMS(λ₁(ST)) of a padded tile image
+    (`calculateEdgeLoss`, contrast_functor.h:166-277). img [3H, 3W]."""
+    h3, w3 = img.shape
+    # forward differences on [0, 3H-1) x [0, 3W-1); borders stay 0
+    gx = jnp.zeros_like(img)
+    gy = jnp.zeros_like(img)
+    gx = gx.at[: h3 - 1, : w3 - 1].set(
+        img[: h3 - 1, 1:w3] - img[: h3 - 1, : w3 - 1]
+    )
+    gy = gy.at[: h3 - 1, : w3 - 1].set(
+        img[1:h3, : w3 - 1] - img[: h3 - 1, : w3 - 1]
+    )
+    # Gaussian-weighted structure tensor (separable conv, zero padding ==
+    # the reference's bounds-masked accumulation since grads are 0 outside)
+    g1 = _gauss_kernel2d(SIGMA_ST, K_ST, img.dtype)
+
+    def blur(a):
+        a = jax.lax.conv_general_dilated(
+            a[None, None], (g1[None, :])[None, None], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0, 0]
+        a = jax.lax.conv_general_dilated(
+            a[None, None], (g1[:, None])[None, None], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0, 0]
+        return a
+
+    sxx = blur(gx * gx)
+    sxy = blur(gx * gy)
+    syy = blur(gy * gy)
+    tr = sxx + syy
+    # tr² − 4·det == (sxx−syy)² + 4·sxy² >= 0; clamp before sqrt so the
+    # forward-mode derivative is 0 (not NaN) on the vast empty regions
+    disc2 = (sxx - syy) ** 2 + 4.0 * sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(disc2, 1e-12))
+    lam1 = jnp.maximum(0.5 * (tr + disc), 0.0)
+    # 5x5 block NMS at stride 2 (kernelSizeNMS_=2), then sum of maxima.
+    # init must be -inf so XLA uses the max-pool primitive (the generic
+    # reduce_window has no batchable JVP); lam1 >= 0 so results are equal.
+    nms = jax.lax.reduce_window(
+        lam1, -jnp.inf, jax.lax.max,
+        (2 * K_NMS + 1, 2 * K_NMS + 1), (K_NMS, K_NMS), "VALID",
+    )
+    return jnp.sum(jnp.maximum(nms, 0.0))
+
+
+def tile_residual(vel, data, tile: int, scale: float):
+    """Scalar contrast residual of one tile (`contrastFunctor::operator()`).
+
+    vel [2]; data = (ex, ey, dt_us, valid, tl_x, tl_y, active) with per-tile
+    padded event arrays [E]; dt_us = t_mid − t_event in µs.
+    """
+    ex, ey, dt_us, valid, tlx, tly, active = data
+    shift = dt_us * scale  # µs·(1e-3) → effective ms units
+    cx = ex + shift * vel[0]
+    cy = ey + shift * vel[1]
+    # padded tile coords: + tile offsets the 1-tile pad ring
+    px = cx - tlx + tile
+    py = cy - tly + tile
+    w = jnp.where(valid, GAUSS_NORM, 0.0)
+    img = splat_image(
+        px, py, w, 3 * tile, 3 * tile,
+        mode="gaussian", sigma=SIGMA_SPLAT, radius=SPLAT_RADIUS,
+        chunk=min(1024, ex.shape[0]),
+    )
+    escaped = jnp.mean(img) <= 1e-4
+    edge = tile_edge_loss(img)
+    r_normal = MAX_RES - edge / MAX_RES
+    r_escape = MAX_RES * (1.0 + vel[0] * vel[0] + vel[1] * vel[1])
+    r = jnp.where(escaped, r_escape, r_normal)
+    return jnp.where(active, r, 0.0)
+
+
+def _edges(ty: int, tx: int):
+    """Horizontal + vertical neighbor index pairs over a ty x tx tile grid."""
+    ids = np.arange(ty * tx).reshape(ty, tx)
+    h = np.stack([ids[:, :-1].ravel(), ids[:, 1:].ravel()], axis=1)
+    v = np.stack([ids[:-1, :].ravel(), ids[1:, :].ravel()], axis=1)
+    return np.concatenate([h, v], axis=0)  # [E, 2]
+
+
+@partial(jax.jit, static_argnames=("tile", "scale", "tv_weight", "tv_huber", "max_iters"))
+def solve_motion_field(
+    tile_data,
+    edge_idx,
+    *,
+    tile: int,
+    scale: float,
+    tv_weight: float,
+    tv_huber: float,
+    max_iters: int,
+):
+    """Block-structured LM over per-tile velocities [T, 2].
+
+    tile_data: pytree of per-tile arrays (see tile_residual), leading dim T.
+    edge_idx: [E, 2] int32 neighbor pairs.
+    """
+    T = tile_data[0].shape[0]
+    res_fn = partial(tile_residual, tile=tile, scale=scale)
+
+    def tiles_r_J(v):
+        def one(vi, di):
+            r = res_fn(vi, di)
+            J = jax.jacfwd(res_fn)(vi, di)
+            return r, J
+
+        return jax.vmap(one)(v, tile_data)  # [T], [T, 2]
+
+    def tv_residuals(v):
+        d = v[edge_idx[:, 0]] - v[edge_idx[:, 1]]  # [E, 2]
+        return tv_weight * jnp.abs(d), d
+
+    def total_cost(v):
+        r = jax.vmap(lambda vi, di: res_fn(vi, di))(v, tile_data)
+        rtv, _ = tv_residuals(v)
+        s = jnp.sum(rtv**2, axis=1)  # block squared norms
+        n = jnp.sqrt(s + 1e-12)
+        rho = jnp.where(n <= tv_huber, s, 2.0 * tv_huber * n - tv_huber**2)
+        return jnp.sum(r * r) + jnp.sum(rho)
+
+    def step(state, _):
+        v, lam, cost = state
+        r, J = tiles_r_J(v)  # [T], [T, 2]
+        # normal equations A x = -b over flattened [2T]
+        A = jnp.zeros((2 * T, 2 * T), v.dtype)
+        b = jnp.zeros(2 * T, v.dtype)
+        # tile blocks: diag 2x2 per tile
+        JJ = J[:, :, None] * J[:, None, :]  # [T, 2, 2]
+        rows = (2 * jnp.arange(T))[:, None, None] + jnp.arange(2)[None, :, None]
+        cols = (2 * jnp.arange(T))[:, None, None] + jnp.arange(2)[None, None, :]
+        A = A.at[rows, cols].add(JJ)
+        b = b.at[(2 * jnp.arange(T))[:, None] + jnp.arange(2)[None, :]].add(
+            J * r[:, None]
+        )
+        # TV blocks (IRLS Huber weight per edge block; GN of w|δ| == weighted
+        # quadratic with Jᵀr = w²δ)
+        rtv, d = tv_residuals(v)
+        s = jnp.sum(rtv**2, axis=1)
+        omega = huber_weights(s, tv_huber)  # [E]
+        w2 = omega * tv_weight * tv_weight
+        p, q = edge_idx[:, 0], edge_idx[:, 1]
+        for c in range(2):
+            A = A.at[2 * p + c, 2 * p + c].add(w2)
+            A = A.at[2 * q + c, 2 * q + c].add(w2)
+            A = A.at[2 * p + c, 2 * q + c].add(-w2)
+            A = A.at[2 * q + c, 2 * p + c].add(-w2)
+            b = b.at[2 * p + c].add(w2 * d[:, c])
+            b = b.at[2 * q + c].add(-w2 * d[:, c])
+        diag = jnp.clip(jnp.diag(A), 1e-8, None)
+        A_d = A + lam * jnp.diag(diag)
+        L, low = jax.scipy.linalg.cho_factor(A_d, lower=True)
+        delta = -jax.scipy.linalg.cho_solve((L, low), b)
+        bad = ~jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(bad, 0.0, delta)
+        v_new = v + delta.reshape(T, 2)
+        cost_new = total_cost(v_new)
+        accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+        v = jnp.where(accept, v_new, v)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        cost = jnp.where(accept, cost_new, cost)
+        return (v, lam, cost), None
+
+    v0 = jnp.zeros((T, 2), jnp.float32)
+    cost0 = total_cost(v0)
+    (v, _, cost), _ = jax.lax.scan(
+        step, (v0, jnp.float32(1e-4), cost0), None, length=max_iters
+    )
+    return v, cost, cost0
+
+
+def compensate_window(
+    x: np.ndarray,
+    y: np.ndarray,
+    t_us: np.ndarray,
+    params: CompensateParams | None = None,
+    height: int = 180,
+    width: int = 240,
+):
+    """Full window compensation (host orchestration + jitted solve).
+
+    Returns (motion_field [TY, TX, 2], compensated_image [H, W] of counts,
+    solve_cost, initial_cost).
+    """
+    p = params or CompensateParams()
+    tx_n = width // p.tile
+    ty_n = height // p.tile
+    T = tx_n * ty_n
+    n = len(x)
+    t_mid = 0.5 * (float(t_us[0]) + float(t_us[-1])) if n else 0.0
+
+    # host: bucket events by tile, build per-tile padded gather arrays
+    tix = np.clip(x.astype(np.int64) // p.tile, 0, tx_n - 1)
+    tiy = np.clip(y.astype(np.int64) // p.tile, 0, ty_n - 1)
+    tid = tiy * tx_n + tix
+    order = np.argsort(tid, kind="stable")
+    counts = np.bincount(tid, minlength=T)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    E = p.events_per_tile_cap
+    gather = np.zeros((T, E), np.int64)
+    valid = np.zeros((T, E), bool)
+    for t in range(T):
+        c = min(int(counts[t]), E)
+        gather[t, :c] = order[starts[t] : starts[t] + c]
+        valid[t, :c] = True
+
+    ex = jnp.asarray(x[gather], jnp.float32)
+    ey = jnp.asarray(y[gather], jnp.float32)
+    dt = jnp.asarray((t_mid - t_us[gather]).astype(np.float32))
+    tlx = jnp.asarray((np.arange(T) % tx_n * p.tile).astype(np.float32))
+    tly = jnp.asarray((np.arange(T) // tx_n * p.tile).astype(np.float32))
+    active = jnp.asarray(counts > p.min_events)
+    tile_data = (ex, ey, dt, jnp.asarray(valid), tlx, tly, active)
+    edge_idx = jnp.asarray(_edges(ty_n, tx_n), jnp.int32)
+
+    vel, cost, cost0 = solve_motion_field(
+        tile_data, edge_idx,
+        tile=p.tile, scale=p.scale, tv_weight=p.tv_weight,
+        tv_huber=p.tv_huber, max_iters=p.max_iters,
+    )
+
+    # final image: nearest splat of counts at compensated positions
+    # (feature_detector.cpp:433-463 — note: value 1 per event, not polarity)
+    vel_np = np.asarray(vel).reshape(ty_n, tx_n, 2)
+    vx = vel_np[tiy, tix, 0]
+    vy = vel_np[tiy, tix, 1]
+    shift = (t_mid - t_us).astype(np.float64) * p.scale
+    cx = np.round(x + shift * vx)
+    cy = np.round(y + shift * vy)
+    img = _count_splat(
+        jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
+        height, width,
+    )
+    return vel_np, np.asarray(img), float(cost), float(cost0)
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def _count_splat(cx, cy, height: int, width: int):
+    ones = jnp.ones_like(cx)
+    return splat_image(cx, cy, ones, height, width, mode="nearest")

@@ -1,0 +1,355 @@
+"""Event tracker front end — detection, association, lifecycle, orchestration.
+
+Capability counterpart of the reference's `FeatureDetector`
+(`implementation/feature_tracker/src/feature_detector.cpp`), redesigned for
+bulk-synchronous TPU execution:
+
+- per *frame* (`new_image`, mirrors `newImage` at feature_detector.cpp:493-541):
+  Harris detection (`:568-583`), log-image + Sobel gradients into a
+  gradient-frame slot store (`:714-732`, the refcounted per-frame Optimizer
+  gradients at `:558-563`), greedy nearest-corner association < 5 px
+  (`:630-664`), KLT flow bootstrap of uninitialized patches
+  (`flow_estimator.cpp:27-82`), per-patch event-budget update (`:666-712`),
+  archive of lost patches and slot refcount GC (`:512-535`);
+- per *event sub-batch* (`process_events`, mirrors the per-event
+  `updatePatches` walk at `:585-619`): batched routing into patch rings,
+  then one vmapped LM alignment solve for all ready patches
+  (evo_tpu.tracker.align).
+
+The per-event asynchrony of the reference becomes per-sub-batch granularity
+(SURVEY.md §7 hard part 2): rects are fixed while routing a sub-batch and
+updated after its solve. Sub-batch size bounds the deviation.
+
+Host/device split: all array math runs in a handful of jitted functions with
+static shapes; the host only runs the tiny data-dependent policy (greedy
+association, slot allocation, trajectory logging) on [P]-sized numpy mirrors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu.core.types import US_PER_S
+from evo_tpu.kernels import gradients, harris, lk
+from evo_tpu.tracker import align
+from evo_tpu.tracker import patch_state as ps
+
+_log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrackerParams:
+    """Mirror of `DetectorParams` (feature_detector.h:10-31) +
+    `OptimizerParams` (optimizer.h:16-27) + `FlowEstimatorParams`
+    (flow_estimator.h:11-17)."""
+
+    quality_level: float = 0.01
+    min_distance: float = 10.0
+    association_distance: float = 5.0
+    block_size: int = 3
+    max_patches: int = 100  # live cap (table capacity is ps.MAX_PATCHES)
+    init_num_events: int = 75
+    max_num_events_to_store: int = 15_000
+    # optimizer
+    max_lm_iters: int = 10
+    optimizer_threshold: float = 0.6
+    huber_loss: float = 0.3
+    # flow estimator
+    lk_levels: int = 3
+    lk_radius: int = 10
+    # sub-batching of the event stream between solves
+    sub_batch_events: int = 5_000
+    sub_batch_duration_us: int = 10_000
+
+
+@partial(jax.jit, static_argnames=())
+def _compute_grads(image):
+    """Log-image + Sobel/8 gradient pair [H, W, 2]
+    (feature_detector.cpp:714-732)."""
+    logim = gradients.log_image(image)
+    gx, gy = gradients.sobel(logim, scale=1.0 / 8.0)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+@jax.jit
+def _apply_frame_update(table: ps.PatchTable, grads, new_grad, slot,
+                        new_mask, new_center, new_track_id):
+    """One fused per-frame table update: write the new gradient frame into
+    its slot and insert the newly detected patches (masked [P] arrays)."""
+    grads = grads.at[slot].set(new_grad)
+    tbl = dataclasses.replace(
+        table,
+        alive=jnp.where(new_mask, True, table.alive),
+        initialized=jnp.where(new_mask, False, table.initialized),
+        track_id=jnp.where(new_mask, new_track_id, table.track_id),
+        center=jnp.where(new_mask[:, None], new_center, table.center),
+        init_pt=jnp.where(new_mask[:, None], new_center, table.init_pt),
+        warp=jnp.where(
+            new_mask[:, None],
+            jnp.array([1.0, 0, 0, 0], jnp.float32)[None, :],
+            table.warp,
+        ),
+        flow=jnp.where(new_mask, 0.0, table.flow),
+        num_of_events=jnp.where(new_mask, ps.INIT_NUM_EVENTS, table.num_of_events),
+        counter=jnp.where(new_mask, 0, table.counter),
+        ev_count=jnp.where(new_mask, 0, table.ev_count),
+        grad_slot=jnp.where(new_mask, slot, table.grad_slot),
+        final_costs=jnp.where(new_mask[:, None], 0.0, table.final_costs),
+        n_costs=jnp.where(new_mask, 0, table.n_costs),
+        time_without_update=jnp.where(new_mask, 10.0, table.time_without_update),
+    )
+    return tbl, grads
+
+
+@jax.jit
+def _apply_flow_init(table: ps.PatchTable, flow_xy, status, h, w):
+    """Flow bootstrap for uninitialized patches (flow_estimator.cpp:27-82):
+    φ = atan2(dy, dx), warp translation = (−dx, −dy); no-flow or
+    border-centered patches are lost."""
+    uninit = table.alive & ~table.initialized
+    dx, dy = flow_xy[:, 0], flow_xy[:, 1]
+    flow_dir = jnp.arctan2(dy, dx)
+    warp = jnp.stack(
+        [jnp.ones_like(dx), jnp.zeros_like(dx), -dx, -dy], axis=-1
+    )
+    speed = jnp.sqrt(dx * dx + dy * dy)
+    twu = align.TIME_WITHOUT_UPDATE_SCALE / jnp.maximum(0.1, speed)
+    cx, cy = table.center[:, 0], table.center[:, 1]
+    border_lost = (cx <= 5) | (cy <= 5) | (cx >= w - 5) | (cy >= h - 5)
+    ok = uninit & status & ~border_lost
+    lost = uninit & (~status | border_lost)
+    return dataclasses.replace(
+        table,
+        alive=table.alive & ~lost,
+        initialized=jnp.where(ok, True, table.initialized),
+        warp=jnp.where(ok[:, None], warp, table.warp),
+        flow=jnp.where(ok, flow_dir, table.flow),
+        time_without_update=jnp.where(ok, twu, table.time_without_update),
+    )
+
+
+class EventTracker:
+    """The tracker frontend: owns the patch table, gradient-slot store,
+    track-id allocation and host-side artifact logs."""
+
+    def __init__(self, params: TrackerParams | None = None,
+                 height: int = 180, width: int = 240):
+        self.params = params or TrackerParams()
+        self.height = height
+        self.width = width
+        self.table = ps.empty_table()
+        self.grads = jnp.zeros((ps.GRAD_SLOTS, height, width, 2), jnp.float32)
+        self.slot_refcount = np.zeros(ps.GRAD_SLOTS, np.int64)
+        self.next_track_id = 0
+        self.epoch_us: int | None = None
+        self.prev_image: jnp.ndarray | None = None
+        self.num_images = 0
+        # host logs (artifact sources)
+        self.trajectories: dict[int, list[tuple[int, float, float]]] = {}
+        self.final_cost_log: list[tuple[int, float, int]] = []
+        self.archived_tracks: set[int] = set()
+
+    # -- time ------------------------------------------------------------
+    def _rel(self, t_us: int) -> float:
+        if self.epoch_us is None:
+            self.epoch_us = int(t_us)
+        return (int(t_us) - self.epoch_us) / US_PER_S
+
+    def _abs_us(self, t_rel: float) -> int:
+        return int(round(t_rel * US_PER_S)) + (self.epoch_us or 0)
+
+    # -- frame path ------------------------------------------------------
+    def new_image(self, t_us: int, image: np.ndarray) -> None:
+        """Per-frame path (`FeatureDetector::newImage`)."""
+        p = self.params
+        t_rel = self._rel(t_us)
+        img = jnp.asarray(image, jnp.float32)
+        corners_xy, _, corners_valid = harris.detect_corners(
+            img,
+            max_corners=p.max_patches,
+            quality_level=p.quality_level,
+            min_distance=p.min_distance,
+            block_size=p.block_size,
+            border=ps.PATCH_EXTENT + 1,
+        )
+        new_grad = _compute_grads(img)
+        corners = np.asarray(corners_xy)[np.asarray(corners_valid)]
+
+        mirror = ps.host_mirror(self.table)
+        alive = mirror["alive"]
+        centers = mirror["center"]
+        n_live = int(alive.sum())
+
+        # greedy association (feature_detector.cpp:630-664): each existing
+        # patch claims the first unclaimed new corner within 5 px; the
+        # claimed corner is dropped (the track simply continues)
+        claimed = np.zeros(len(corners), bool)
+        for i in np.flatnonzero(alive):
+            d = np.linalg.norm(corners - centers[i], axis=-1) if len(corners) else []
+            for j in np.argsort(d) if len(corners) else []:
+                if not claimed[j] and d[j] < p.association_distance:
+                    claimed[j] = True
+                    break
+
+        # allocate a gradient slot for this frame
+        free_slots = np.flatnonzero(self.slot_refcount == 0)
+        slot = int(free_slots[0]) if len(free_slots) else int(np.argmin(self.slot_refcount))
+
+        # place unmatched corners into free table slots, respecting the cap
+        new_mask = np.zeros(ps.MAX_PATCHES, bool)
+        new_center = np.zeros((ps.MAX_PATCHES, 2), np.float32)
+        new_tid = np.full(ps.MAX_PATCHES, -1, np.int32)
+        free_rows = np.flatnonzero(~alive)
+        budget = max(0, p.max_patches - n_live)
+        k = 0
+        for j in np.flatnonzero(~claimed) if len(corners) else []:
+            if k >= min(budget, len(free_rows)):
+                break
+            row = free_rows[k]
+            new_mask[row] = True
+            new_center[row] = corners[j]
+            new_tid[row] = self.next_track_id
+            self.trajectories[self.next_track_id] = [
+                (int(t_us), float(corners[j][0]), float(corners[j][1]))
+            ]
+            self.next_track_id += 1
+            self.slot_refcount[slot] += 1
+            k += 1
+
+        self.table, self.grads = _apply_frame_update(
+            self.table, self.grads, jnp.asarray(new_grad), jnp.asarray(slot),
+            jnp.asarray(new_mask), jnp.asarray(new_center), jnp.asarray(new_tid),
+        )
+
+        # KLT bootstrap for uninitialized patches (2nd frame onward)
+        self.num_images += 1
+        if self.prev_image is not None and self.num_images >= 2:
+            pts = self.table.center
+            _, flow_xy, status = lk.pyramidal_lk(
+                self.prev_image, img, pts,
+                self.table.alive & ~self.table.initialized,
+                num_levels=p.lk_levels, radius=p.lk_radius,
+            )
+            self.table = _apply_flow_init(
+                self.table, flow_xy, status,
+                jnp.asarray(self.height), jnp.asarray(self.width),
+            )
+        self.prev_image = img
+
+        # event-budget update + border-lost for everyone (newImage calls
+        # updateNumOfEvents per patch, feature_detector.cpp:498-501)
+        self.table = align.update_num_of_events(self.table, jnp.asarray(new_grad))
+
+        # lifecycle: archive dead rows, release slot refcounts
+        self._archive_dead()
+
+        # trajectory entries for surviving patches at the frame timestamp
+        # (associatePatches does addTrajectoryPosition per frame, :646-648)
+        mirror = ps.host_mirror(self.table)
+        for i in np.flatnonzero(mirror["alive"]):
+            tid = int(mirror["track_id"][i])
+            cx, cy = mirror["center"][i]
+            self.trajectories.setdefault(tid, []).append((int(t_us), float(cx), float(cy)))
+
+    def _archive_dead(self) -> None:
+        mirror = ps.host_mirror(self.table)
+        dead = (~mirror["alive"]) & (mirror["track_id"] >= 0)
+        if not dead.any():
+            return
+        for i in np.flatnonzero(dead):
+            tid = int(mirror["track_id"][i])
+            self.archived_tracks.add(tid)
+            self.slot_refcount[mirror["grad_slot"][i]] -= 1
+        # free the rows
+        tid_arr = jnp.asarray(mirror["track_id"])
+        dead_j = jnp.asarray(dead)
+        self.table = dataclasses.replace(
+            self.table,
+            track_id=jnp.where(dead_j, -1, tid_arr),
+        )
+        self.slot_refcount = np.maximum(self.slot_refcount, 0)
+
+    # -- event path ------------------------------------------------------
+    def process_events(self, t_us: np.ndarray, x: np.ndarray, y: np.ndarray,
+                       pol: np.ndarray) -> None:
+        """Feed a window of events (host arrays, time-ordered): route to
+        patches and run the batched alignment solve per sub-batch."""
+        p = self.params
+        n = len(t_us)
+        if n == 0:
+            return
+        lo = 0
+        while lo < n:
+            hi_cnt = min(lo + p.sub_batch_events, n)
+            hi_time = int(np.searchsorted(t_us, t_us[lo] + p.sub_batch_duration_us, "left"))
+            hi = max(lo + 1, min(hi_cnt, hi_time))
+            self._process_sub_batch(t_us[lo:hi], x[lo:hi], y[lo:hi], pol[lo:hi])
+            lo = hi
+
+    def _process_sub_batch(self, t_us, x, y, pol) -> None:
+        cap = self.params.sub_batch_events
+        n = len(t_us)
+        t_rel = (t_us - (self.epoch_us or int(t_us[0]))) / US_PER_S
+        if self.epoch_us is None:
+            self.epoch_us = int(t_us[0])
+
+        def pad(a, dtype=np.float32):
+            out = np.zeros(cap, dtype)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        mask = jnp.asarray(np.arange(cap) < n)
+        self.table = _route_jit(
+            self.table, pad(x), pad(y), pad(t_rel), pad(pol), mask
+        )
+        mirror_ready = np.asarray(ps.is_ready(self.table) & self.table.alive & self.table.initialized)
+        if not mirror_ready.any():
+            return
+        self.table, info = align.optimize_ready_patches(self.table, self.grads)
+        # post-solve budget update uses the latest detection-frame grads
+        latest = self._latest_slot()
+        self.table = align.update_num_of_events(self.table, self.grads[latest])
+        self._log_solves(info)
+        self._archive_dead()
+
+    def _latest_slot(self) -> int:
+        mirror = ps.host_mirror(self.table)
+        alive = mirror["alive"]
+        if alive.any():
+            return int(mirror["grad_slot"][np.flatnonzero(alive)[-1]])
+        return 0
+
+    def _log_solves(self, info) -> None:
+        ran = np.asarray(info["ran"])
+        if not ran.any():
+            return
+        cost = np.asarray(info["cost"])
+        mirror = ps.host_mirror(self.table)
+        cur_t = np.asarray(self.table.cur_t)
+        for i in np.flatnonzero(ran):
+            tid = int(mirror["track_id"][i])
+            if tid < 0:
+                continue
+            t_abs = self._abs_us(float(cur_t[i]))
+            self.final_cost_log.append((tid, float(cost[i]), t_abs))
+            if mirror["alive"][i]:
+                cx, cy = mirror["center"][i]
+                self.trajectories.setdefault(tid, []).append(
+                    (t_abs, float(cx), float(cy))
+                )
+
+    # -- views -----------------------------------------------------------
+    @property
+    def num_live(self) -> int:
+        return int(np.asarray(self.table.alive).sum())
+
+
+@jax.jit
+def _route_jit(table, ex, ey, et, ep, mask):
+    return ps.route_events(table, ex, ey, et, ep, mask)

@@ -1,0 +1,293 @@
+"""Tracker tests.
+
+- routing/ring-buffer semantics against a hand-maintained oracle (the
+  feature_detector_test pattern, reference `feature_detector_test.cpp:43-97`)
+- the key synthetic-forward/inverse-recovery test of the alignment solver
+  (reference `optimizer_test.cpp:69-149`): render a ground-truth integrated
+  patch by warping known gradients with a known SE(2) warp, assert the
+  batched LM recovers the warp
+- detection + association on a synthetic frame
+- contrast-max compensation recovers a known velocity field
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evo_tpu.core import lie
+from evo_tpu.kernels import gradients
+from evo_tpu.tracker import align, compensate, detector
+from evo_tpu.tracker import patch_state as ps
+
+
+class TestPatchTable:
+    def test_route_events_oracle(self):
+        table = empty_with_patches(centers=[(50.0, 40.0), (100.0, 90.0)])
+        # events: in patch0, in patch1, in both? (patches far apart), outside
+        ex = jnp.array([45.0, 100.0, 60.0, 38.0 + 0.0, 112.0], jnp.float32)
+        ey = jnp.array([40.0, 95.0, 40.0, 28.0, 102.0], jnp.float32)
+        et = jnp.arange(5, dtype=jnp.float32) * 1e-3
+        ep = jnp.array([1.0, -1.0, 1.0, 1.0, -1.0], jnp.float32)
+        mask = jnp.ones(5, bool)
+        out = ps.route_events(table, ex, ey, et, ep, mask)
+        # patch0 at (50,40) extent 12: x in [38,62], y in [28,52]
+        #   events 0 (45,40) in; 2 (60,40) in; 3 (38,28) in (inclusive edges)
+        # patch1 at (100,90): x in [88,112], y in [78,102]
+        #   events 1 (100,95) in; 4 (112,102) in (inclusive)
+        np.testing.assert_array_equal(np.asarray(out.ev_count[:2]), [3, 2])
+        np.testing.assert_array_equal(np.asarray(out.counter[:2]), [3, 2])
+        np.testing.assert_allclose(np.asarray(out.ev_x[0, :3]), [45, 60, 38])
+        np.testing.assert_allclose(np.asarray(out.ev_x[1, :2]), [100, 112])
+        np.testing.assert_allclose(np.asarray(out.ev_p[1, :2]), [-1, -1])
+
+    def test_ring_wrap_keeps_newest(self):
+        table = empty_with_patches(centers=[(50.0, 40.0)])
+        e = table.ev_t.shape[1]
+        n = e + 17  # overflow the ring
+        ex = jnp.full(n, 50.0)
+        ey = jnp.full(n, 40.0)
+        et = jnp.arange(n, dtype=jnp.float32)
+        ep = jnp.ones(n)
+        out = ps.route_events(table, ex, ey, et, ep, jnp.ones(n, bool))
+        t, x, y, p, valid = ps.newest_events(out)
+        got = np.sort(np.asarray(t[0])[np.asarray(valid[0])])
+        # newest num_of_events (=75 init) timestamps survive
+        expect = np.arange(n - 75, n, dtype=np.float32)
+        np.testing.assert_allclose(got, expect)
+
+    def test_is_ready_semantics(self):
+        table = empty_with_patches(centers=[(50.0, 40.0)])
+        table = dataclasses.replace(
+            table,
+            num_of_events=jnp.full(table.capacity, 100, jnp.int32),
+        )
+        # 99 events: buffer not full -> not ready
+        out = route_uniform(table, 99)
+        assert not bool(ps.is_ready(out)[0])
+        # 100 events but counter reset below 30 -> not ready
+        out2 = dataclasses.replace(
+            route_uniform(table, 100), counter=jnp.full(table.capacity, 29, jnp.int32)
+        )
+        assert not bool(ps.is_ready(out2)[0])
+        # 100 events, counter >= 30 -> ready
+        out3 = route_uniform(table, 100)
+        assert bool(ps.is_ready(out3)[0])
+
+
+def empty_with_patches(centers):
+    table = ps.empty_table()
+    n = len(centers)
+    c = np.zeros((ps.MAX_PATCHES, 2), np.float32)
+    c[:n] = centers
+    alive = np.zeros(ps.MAX_PATCHES, bool)
+    alive[:n] = True
+    tid = np.full(ps.MAX_PATCHES, -1, np.int32)
+    tid[:n] = np.arange(n)
+    return dataclasses.replace(
+        table,
+        alive=jnp.asarray(alive),
+        initialized=jnp.asarray(alive),
+        track_id=jnp.asarray(tid),
+        center=jnp.asarray(c),
+        init_pt=jnp.asarray(c),
+    )
+
+
+def route_uniform(table, n):
+    ex = jnp.full(n, float(table.center[0, 0]))
+    ey = jnp.full(n, float(table.center[0, 1]))
+    et = jnp.arange(n, dtype=jnp.float32) * 1e-4
+    ep = jnp.ones(n)
+    return ps.route_events(table, ex, ey, et, ep, jnp.ones(n, bool))
+
+
+def _smooth_grad_field(rng, h=180, w=240):
+    """Random smooth gradient pair, like the random-lines gradients of
+    optimizer_test.cpp:44-67."""
+    img = rng.standard_normal((h, w)).astype(np.float32)
+    img = np.asarray(gradients.gaussian_blur(jnp.asarray(img), 3.0, radius=6)) * 20.0
+    gx, gy = gradients.sobel(jnp.asarray(img), scale=1.0 / 8.0)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+class TestAlignment:
+    def test_recovers_known_warp(self, rng):
+        """optimizer_test pattern: ground-truth integrated nabla rendered
+        from warped gradients; solver must recover the warp tangent and the
+        flow angle within 0.5 (the reference's tolerance)."""
+        grad = _smooth_grad_field(rng)
+        center = jnp.array([120.0, 90.0], jnp.float32)
+        true_tangent = jnp.array([1.5, -1.0, 0.05], jnp.float32)  # vx, vy, θ
+        true_warp = lie.se2_exp(true_tangent)
+        true_flow = jnp.float32(0.7)
+
+        # ground-truth integrated patch = −pred(W_true)/‖pred‖ so the
+        # residual vanishes at the true parameters
+        params_true = jnp.concatenate([true_warp, true_flow[None]])
+        r_at_zero_int = align.alignment_residual(
+            params_true, (jnp.zeros(ps.PATCH_SIDE**2), grad, center)
+        )
+        norm_int = -r_at_zero_int
+
+        # start from identity warp, flow off by 0.3
+        params0 = jnp.concatenate(
+            [lie.se2_identity(), jnp.asarray([0.4], jnp.float32)]
+        )
+        x, cost = align._solve_one(params0, (norm_int, grad, center))
+        rec_tangent = lie.se2_log(x[0:4])
+        np.testing.assert_allclose(
+            np.asarray(rec_tangent), np.asarray(true_tangent), atol=0.5
+        )
+        assert abs(float(x[4]) - 0.7) < 0.5
+        assert float(cost) < 0.05
+
+    def test_integration_matches_oracle(self):
+        table = empty_with_patches(centers=[(50.0, 40.0)])
+        ex = jnp.array([50.0, 50.0, 45.0, 62.0, 63.0], jnp.float32)  # 63 outside
+        ey = jnp.array([40.0, 40.0, 40.0, 52.0, 40.0], jnp.float32)
+        et = jnp.arange(5, dtype=jnp.float32)
+        ep = jnp.array([1.0, 1.0, -1.0, 1.0, 1.0], jnp.float32)
+        out = ps.route_events(table, ex, ey, et, ep, jnp.ones(5, bool))
+        img = np.asarray(align.integrate_events(out))[0]
+        assert img[12, 12] == 2.0  # two +1 events at the center
+        assert img[12, 7] == -1.0  # (45,40) -> rel (7,12)
+        assert img[24, 24] == 1.0  # (62,52) -> corner
+        assert img.sum() == 2.0  # 2 - 1 + 1 = 2 (event at x=63 dropped)
+
+    def test_full_pipeline_tracks_moving_corner(self, rng):
+        """End-to-end mini: the top-left corner of a bright square translates
+        right; the patch center must follow it. The scene must be physically
+        consistent: the square's left edge *darkens* pixels as it passes
+        (polarity −1), events spread over the edge's spatial width, and the
+        corner termination constrains the y axis (a pure infinite edge would
+        leave y unobservable — aperture problem)."""
+        h, w = 180, 240
+        frame = np.zeros((h, w), np.float32)
+        frame[90:130, 100:140] = 0.9  # bright square, TL corner at (100, 90)
+        frame = np.asarray(
+            gradients.gaussian_blur(jnp.asarray(frame), 0.7, radius=2)
+        )
+        grad = np.asarray(
+            jnp.stack(
+                gradients.sobel(
+                    gradients.log_image(jnp.asarray(frame)), scale=1.0 / 8.0
+                ),
+                axis=-1,
+            )
+        )
+        grads = jnp.zeros((ps.GRAD_SLOTS, h, w, 2), jnp.float32).at[0].set(
+            jnp.asarray(grad)
+        )
+
+        table = empty_with_patches(centers=[(100.0, 90.0)])  # on the corner
+        table = dataclasses.replace(
+            table,
+            flow=jnp.zeros(ps.MAX_PATCHES),  # flow along +x
+            num_of_events=jnp.full(ps.MAX_PATCHES, 150, jnp.int32),
+        )
+
+        vel = 40.0
+        n = 4000
+        t_all = np.sort(rng.uniform(0, 0.25, n)).astype(np.float32)
+        # events on the moving left vertical edge segment y in [90, 130]
+        ex_all = np.round(100.0 + vel * t_all + rng.normal(0, 1.0, n)).astype(np.float32)
+        ey_all = np.round(rng.uniform(90, 130, n)).astype(np.float32)
+        ep_all = -np.ones(n, np.float32)
+
+        centers = [100.0]
+        for lo in range(0, n, 800):
+            hi = min(lo + 800, n)
+            table = ps.route_events(
+                table,
+                jnp.asarray(ex_all[lo:hi]), jnp.asarray(ey_all[lo:hi]),
+                jnp.asarray(t_all[lo:hi]), jnp.asarray(ep_all[lo:hi]),
+                jnp.ones(hi - lo, bool),
+            )
+            table, info = align.optimize_ready_patches(table, grads)
+            centers.append(float(table.center[0, 0]))
+        # after 0.25 s the corner sits at x = 110
+        assert centers[-1] == pytest.approx(100.0 + vel * 0.25, abs=2.0), centers
+        assert abs(float(table.center[0, 1]) - 90.0) < 3.0  # y stays put
+        assert bool(table.alive[0])
+
+
+class TestDetector:
+    def _squares_frame(self):
+        img = np.full((180, 240), 0.2, np.float32)
+        for cy in range(40, 140, 40):
+            for cx in range(40, 200, 40):
+                img[cy : cy + 16, cx : cx + 16] = 0.9
+        return img
+
+    def test_new_image_creates_patches(self):
+        tr = detector.EventTracker()
+        tr.new_image(0, self._squares_frame())
+        assert tr.num_live > 10
+        assert tr.next_track_id == tr.num_live
+        # all patches uninitialized until the 2nd frame's KLT
+        assert int(np.asarray(tr.table.initialized).sum()) == 0
+
+    def test_association_continues_tracks(self):
+        tr = detector.EventTracker()
+        tr.new_image(0, self._squares_frame())
+        n1 = tr.num_live
+        ids1 = set(np.asarray(tr.table.track_id)[np.asarray(tr.table.alive)].tolist())
+        tr.new_image(50_000, self._squares_frame())
+        ids2 = set(np.asarray(tr.table.track_id)[np.asarray(tr.table.alive)].tolist())
+        # same static frame -> corners associate, no duplicate tracks
+        assert ids1 == ids2
+        assert tr.num_live == n1
+
+    def test_klt_initializes_flow(self):
+        tr = detector.EventTracker()
+        f0 = self._squares_frame()
+        f1 = np.roll(f0, 3, axis=1)  # shift right 3 px
+        tr.new_image(0, f0)
+        tr.new_image(50_000, f1)
+        init = np.asarray(tr.table.initialized) & np.asarray(tr.table.alive)
+        assert init.sum() > 5
+        flows = np.asarray(tr.table.flow)[init]
+        # motion is +x -> flow angle ~ 0
+        med = np.median(np.abs(np.arctan2(np.sin(flows), np.cos(flows))))
+        assert med < 0.3
+        # warp translation should be ~(-3, 0)
+        warps = np.asarray(tr.table.warp)[init]
+        assert np.median(warps[:, 2]) == pytest.approx(-3.0, abs=0.8)
+
+
+class TestCompensate:
+    def test_recovers_uniform_velocity(self, rng):
+        """Events from a translating edge pattern; the per-tile velocities
+        must recover the (uniform) motion and the compensated image must be
+        sharper (higher edge score) than the uncompensated one."""
+        h = w = 60  # 3x3 tiles of 20px
+        p = compensate.CompensateParams(max_iters=25, events_per_tile_cap=512)
+        vel_true = 50.0  # px/s along +x
+        n = 3000
+        t_us = np.sort(rng.uniform(0, 100_000, n)).astype(np.int64)  # 100 ms
+        t_s = t_us * 1e-6
+        # vertical lines every 10 px, moving right
+        base_x = rng.choice(np.arange(5, 55, 10), n)
+        ex = np.clip(base_x + vel_true * t_s + rng.normal(0, 0.3, n), 0, w - 1)
+        ey = rng.uniform(0, h - 1, n)
+        field, img, cost, cost0 = compensate.compensate_window(
+            ex.astype(np.float64), ey, t_us, p, height=h, width=w
+        )
+        assert cost < cost0
+        # velocity unit: px per (µs·scale) = px/ms; true = 50 px/s = 0.05 px/ms
+        active = np.abs(field).sum(-1) > 0
+        assert active.any()
+        rec = np.median(field[..., 0][active])
+        assert rec == pytest.approx(0.05, abs=0.015)
+        assert abs(np.median(field[..., 1][active])) < 0.015
+        # sharpness: compensated image should beat the naive accumulation
+        naive = np.asarray(
+            compensate._count_splat(
+                jnp.asarray(np.round(ex), jnp.float32),
+                jnp.asarray(np.round(ey), jnp.float32), h, w,
+            )
+        )
+        assert img.max() > naive.max() * 1.3  # mass concentrates on lines
