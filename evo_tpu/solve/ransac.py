@@ -106,33 +106,55 @@ def relative_pose_ransac(
     *,
     num_hypotheses: int = 256,
     threshold: float = 1e-4,
+    coarse_threshold: float = 2e-3,
     valid_mask=None,
 ):
     """2D-2D bootstrap: 8-point essential RANSAC over bearing pairs.
 
-    Mirrors `findInliersRansac` (`visual_odometry.cpp:288-341`): minimal
-    8-point samples, epipolar residual threshold, returns the best
-    `pose_1_2` (cam 2 in cam 1, unit translation) and the inlier set.
-    f1, f2: [N, 3] padded unit bearings.
+    Mirrors `findInliersRansac` (`visual_odometry.cpp:288-341`) with
+    OpenGV's scoring semantics: each minimal 8-point essential estimate is
+    decomposed into its 4 (R, t) candidates and every candidate is scored by
+    the *triangulated angular reprojection* residual (the statistic the
+    reference's 5e-5 threshold is calibrated against — the raw algebraic
+    epipolar error both has an f32 precision floor and is biased toward
+    spurious solutions under low parallax). The best pose is then refined
+    nonlinearly on its inliers (`optimize_nonlinear`) and inliers are
+    reselected (`selectWithinDistance`).
+
+    Returns (pose_1_2 with unit translation, RansacResult with the final
+    inlier set). f1, f2: [N, 3] padded unit bearings.
     """
+    del coarse_threshold  # superseded by geometric scoring
     n_max = f1.shape[0]
 
     def solver(sample):
         s1, s2 = sample
         E = epipolar.eight_point(s1, s2)
-        return E[None], jnp.ones((1,), bool)
+        return epipolar.decompose_candidates(E), jnp.ones((4,), bool)
 
-    def residual(E, data):
+    def residual(pose_1_2, data):
         d1, d2 = data
-        return epipolar.epipolar_residual(E, d1, d2)
+        return epipolar.relative_reprojection_residual(pose_1_2, d1, d2)
 
     res = ransac(
         key, solver, residual, (f1, f2), n_valid, n_max,
-        sample_size=8, num_hypotheses=num_hypotheses, threshold=threshold,
-        valid_mask=valid_mask,
+        sample_size=8, num_hypotheses=num_hypotheses,
+        threshold=threshold, valid_mask=valid_mask,
     )
-    # decompose best E with cheirality over inliers only
-    pose_1_2, _ = epipolar.decompose_essential(res.model, f1, f2, mask=res.inliers)
+    # nonlinear refinement on the inliers
+    w = res.inliers.astype(f1.dtype)
+    pose_1_2 = epipolar.refine_relative_pose(res.model, f1, f2, w)
+    # reselect inliers against the refined model
+    r = epipolar.relative_reprojection_residual(pose_1_2, f1, f2)
+    inl = r < threshold
+    if valid_mask is not None:
+        inl = inl & valid_mask
+    res = RansacResult(
+        model=res.model,
+        inliers=inl,
+        num_inliers=jnp.sum(inl).astype(jnp.int32),
+        best_idx=res.best_idx,
+    )
     return pose_1_2, res
 
 

@@ -1,0 +1,349 @@
+"""Visual-odometry front end: keyframe policy, localization, mapping, BA.
+
+Capability counterpart of `VisualOdometryFrontEnd`
+(`implementation/visual_odometry/src/visual_odometry.cpp`), with the same
+policy, device-solved math:
+
+- keyframe admission (`isNewKeyframeNeeded`, :106-154): frame 0 = identity;
+  frame 1 = 2D-2D bootstrap (8-point RANSAC over shared-track bearings with
+  unit-norm translation, `initCameras`/`findInliersRansac`, :176-210,288-341);
+  later frames = 2D-3D localization (P3P RANSAC + nonlinear refinement +
+  inlier reselection, `localizeCamera`, :212-286), accept when inliers >
+  numOfInliers, else try re-bootstrap, else reuse the last pose for up to
+  maxNumWithoutAdd frames;
+- map maintenance: evict the oldest keyframe beyond the 20-frame window
+  (`deleteKeyframe`, :165-174), archive landmarks losing their last
+  observation (`deleteLandmarks`, :379-414), triangulate each track on its
+  2nd observation (`addNewLandmarks`, :343-377);
+- windowed BA after every accepted keyframe (`optimize`, :416-497 — see
+  evo_tpu.vo.ba);
+- GT sync by SE(3) interpolation (`syncGtAndImage`, :522-561) and live
+  Sim(3)-aligned ATE logging (:78-97).
+
+Padded-array packing keeps device shapes static (power-of-two buckets), so
+the policy's data-dependent sizes never trigger unbounded recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu.core import camera, lie
+from evo_tpu.solve import ransac, triangulate
+from evo_tpu.vo import ba
+from evo_tpu.vo.align_sim3 import ErrorMetric, align_trajectories_sim3
+from evo_tpu.vo.keyframe import Keyframe, MapLandmarks, Match
+
+_log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class VoParams:
+    """Mirror of `VisualOdometryParams` (visual_odometry.h:27-38)."""
+
+    num_active_frames: int = 20
+    num_inliers: int = 55
+    ransac_min_inliers: int = 15
+    max_iterations: int = 50
+    max_num_without_add: int = 4
+    ransac_threshold: float = 5e-5
+    reprojection_error_px: float = 3.0
+    huber_loss: float = 0.8
+    num_bootstrap_hypotheses: int = 256
+    num_localize_hypotheses: int = 128
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad2(arr: np.ndarray, size: int) -> jnp.ndarray:
+    out = np.zeros((size,) + arr.shape[1:], np.float32)
+    out[: len(arr)] = arr
+    return jnp.asarray(out)
+
+
+class VisualOdometryFrontEnd:
+    def __init__(self, calib, params: VoParams | None = None, seed: int = 0):
+        self.params = params or VoParams()
+        self.calib = calib
+        self.intr = jnp.asarray(calib.to_array())
+        self.active_frames: dict[int, Keyframe] = {}  # t_us -> Keyframe
+        self.stored_frames: list[Keyframe] = []
+        self.map = MapLandmarks()
+        self.stored_landmarks: list[tuple[int, np.ndarray]] = []
+        self.without_add = 0
+        self.gt_t_us = np.zeros(0, np.int64)
+        self.gt_poses = np.zeros((0, 7))
+        self.gt_list: list[np.ndarray] = []
+        self.gt_aligned: list[np.ndarray] = []
+        self.zero_gt: np.ndarray | None = None
+        self.last_ate: ErrorMetric | None = None
+        self._key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    def set_ground_truth(self, t_us: np.ndarray, poses: np.ndarray) -> None:
+        self.gt_t_us = t_us
+        self.gt_poses = poses
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _unproject(self, pix: np.ndarray) -> np.ndarray:
+        return np.asarray(camera.unproject(self.intr, jnp.asarray(pix, jnp.float32)))
+
+    # -- policy ---------------------------------------------------------
+    def new_keyframe_candidate(self, keyframe: Keyframe) -> bool:
+        match = Match()
+        if not self._is_new_keyframe_needed(keyframe, match):
+            self.without_add += 1
+            return False
+
+        gt = self._sync_gt(keyframe.t_us)
+        if gt is not None:
+            if not self.gt_list:
+                self.zero_gt = gt
+            rel = np.asarray(
+                lie.se3_compose(
+                    lie.se3_inverse(jnp.asarray(self.zero_gt)), jnp.asarray(gt)
+                )
+            )
+            self.gt_list.append(rel)
+            self.gt_aligned.append(rel)
+
+        self._delete_keyframe()
+        self._add_keyframe(keyframe, match)
+        self._optimize()
+
+        poses = [kf.pose for kf in self.stored_frames] + [
+            self.active_frames[t].pose for t in sorted(self.active_frames)
+        ]
+        if len(poses) > 5 and self.gt_list:
+            sim, ate = align_trajectories_sim3(self.gt_list, poses)
+            self.last_ate = ate
+            sim_inv = lie.sim3_inverse(jnp.asarray(sim, jnp.float32))
+            self.gt_aligned = [
+                np.asarray(lie.sim3_mul_se3(sim_inv, jnp.asarray(g, jnp.float32)))
+                for g in self.gt_list
+            ]
+            _log.info(
+                "ATE rmse=%.4f mean=%.4f max=%.4f min=%.4f",
+                ate.rmse, ate.mean, ate.max, ate.min,
+            )
+        _log.info(
+            "keyframe @%d added; map has %d landmarks",
+            keyframe.t_us, len(self.map.landmarks),
+        )
+        return True
+
+    def _is_new_keyframe_needed(self, keyframe: Keyframe, match: Match) -> bool:
+        if not self.active_frames:
+            keyframe.pose = np.array([1.0, 0, 0, 0, 0, 0, 0])
+            match.inliers = list(keyframe.landmarks)
+            return True
+        if len(self.active_frames) == 1:
+            return self._init_cameras(keyframe, match)
+        self._localize_camera(keyframe, match)
+        keyframe.pose = match.pose.copy()
+        if len(match.inliers) > self.params.num_inliers:
+            return True
+        if self._init_cameras(keyframe, match):
+            return True
+        if self.params.max_num_without_add > self.without_add:
+            last_t = max(self.active_frames)
+            match.pose = self.active_frames[last_t].pose.copy()
+            keyframe.pose = match.pose.copy()
+            match.inliers = list(keyframe.landmarks)
+            return True
+        _log.info("few inliers after localization: %d", len(match.inliers))
+        return True
+
+    # -- geometric stages ----------------------------------------------
+    def _init_cameras(self, keyframe: Keyframe, match: Match) -> bool:
+        """2D-2D bootstrap against the newest active keyframe."""
+        last_t = max(self.active_frames)
+        start = self.active_frames[last_t]
+        shared = start.shared_tracks(keyframe)
+        if len(shared) < 8:
+            return False
+        p1 = np.stack([start.landmarks[t] for t in shared])
+        p2 = np.stack([keyframe.landmarks[t] for t in shared])
+        f1 = self._unproject(p1)
+        f2 = self._unproject(p2)
+        n = len(shared)
+        b = _bucket(n)
+        pose_rel, res = ransac.relative_pose_ransac(
+            self._next_key(), _pad2(f1, b), _pad2(f2, b), jnp.asarray(n),
+            num_hypotheses=self.params.num_bootstrap_hypotheses,
+            threshold=self.params.ransac_threshold,
+            valid_mask=jnp.arange(b) < n,
+        )
+        n_inl = int(res.num_inliers)
+        _log.info("bootstrap with %d RANSAC inliers", n_inl)
+        if n_inl < max(self.params.ransac_min_inliers, self.params.num_inliers):
+            return False
+        inl = np.asarray(res.inliers)[:n]
+        match.inliers = [t for t, ok in zip(shared, inl) if ok]
+        # T_w_new = T_w_last · T_rel (unit-norm translation fixes scale)
+        keyframe.pose = np.asarray(
+            lie.se3_compose(
+                jnp.asarray(start.pose, jnp.float32), pose_rel
+            ),
+            np.float64,
+        )
+        match.pose = keyframe.pose.copy()
+        return True
+
+    def _localize_camera(self, keyframe: Keyframe, match: Match) -> None:
+        """2D-3D localization against the current landmark map."""
+        match.inliers = []
+        tracks = [t for t in keyframe.landmarks if t in self.map.landmarks]
+        if len(tracks) < 4:
+            return
+        pix = np.stack([keyframe.landmarks[t] for t in tracks])
+        pts = np.stack([self.map.landmarks[t] for t in tracks])
+        bear = self._unproject(pix)
+        n = len(tracks)
+        b = _bucket(n)
+        threshold = 1.0 - np.cos(np.arctan2(self.params.reprojection_error_px, 200.0))
+        pose, res = ransac.absolute_pose_ransac(
+            self._next_key(), _pad2(bear, b), _pad2(pts, b), jnp.asarray(n),
+            num_hypotheses=self.params.num_localize_hypotheses,
+            threshold=float(threshold),
+            valid_mask=jnp.arange(b) < n,
+        )
+        # nonlinear refinement on the inliers + reselection (:255-276)
+        refined = ransac.refine_absolute_pose(
+            pose, _pad2(bear, b), _pad2(pts, b), res.inliers
+        )
+        from evo_tpu.solve.p3p import reprojection_angle_residual
+
+        r = np.asarray(
+            reprojection_angle_residual(refined, _pad2(bear, b), _pad2(pts, b))
+        )[:n]
+        inl = r < threshold
+        match.pose = np.asarray(refined, np.float64)
+        match.inliers = [t for t, ok in zip(tracks, inl) if ok]
+
+    # -- map maintenance ------------------------------------------------
+    def _add_keyframe(self, keyframe: Keyframe, match: Match) -> None:
+        self.without_add = 0
+        self.active_frames[keyframe.t_us] = keyframe
+        self._add_new_landmarks(keyframe, match)
+
+    def _delete_keyframe(self) -> None:
+        if len(self.active_frames) > self.params.num_active_frames:
+            oldest_t = min(self.active_frames)
+            oldest = self.active_frames.pop(oldest_t)
+            self.stored_frames.append(oldest)
+            self._delete_landmarks(oldest)
+
+    def _add_new_landmarks(self, keyframe: Keyframe, match: Match) -> None:
+        """Observations for inliers; triangulate on the 2nd observation
+        (visual_odometry.cpp:343-377)."""
+        for track in match.inliers:
+            self.map.observations.setdefault(track, []).append(keyframe.t_us)
+            obs = self.map.observations[track]
+            if len(obs) == 2:
+                k1 = self.active_frames.get(obs[0])
+                k2 = self.active_frames.get(obs[1])
+                if k1 is None or k2 is None:
+                    continue
+                f1 = self._unproject(k1.landmarks[track][None])[0]
+                f2 = self._unproject(k2.landmarks[track][None])[0]
+                p_w, _ = triangulate.triangulate_landmarks(
+                    jnp.asarray(f1, jnp.float32)[None],
+                    jnp.asarray(f2, jnp.float32)[None],
+                    jnp.asarray(k1.pose, jnp.float32),
+                    jnp.asarray(k2.pose, jnp.float32),
+                )
+                self.map.landmarks[track] = np.asarray(p_w[0], np.float64)
+
+    def _delete_landmarks(self, keyframe: Keyframe) -> None:
+        for track in keyframe.landmarks:
+            obs = self.map.observations.get(track)
+            if obs and keyframe.t_us in obs:
+                obs.remove(keyframe.t_us)
+        dead = [t for t, obs in self.map.observations.items() if not obs]
+        for t in dead:
+            if t in self.map.landmarks:
+                self.stored_landmarks.append((t, self.map.landmarks.pop(t)))
+            del self.map.observations[t]
+
+    # -- BA --------------------------------------------------------------
+    def _optimize(self) -> None:
+        frames_t = sorted(self.active_frames)
+        F = len(frames_t)
+        if F < 3:
+            return
+        frame_idx = {t: i for i, t in enumerate(frames_t)}
+        lm_ids = [
+            t for t, obs in self.map.observations.items()
+            if len(obs) >= 2 and t in self.map.landmarks
+        ]
+        if not lm_ids:
+            return
+        lm_idx = {t: i for i, t in enumerate(lm_ids)}
+        obs_f, obs_l, obs_p = [], [], []
+        for t in lm_ids:
+            for kt in self.map.observations[t]:
+                kf = self.active_frames.get(kt)
+                if kf is None or t not in kf.landmarks:
+                    continue
+                obs_f.append(frame_idx[kt])
+                obs_l.append(lm_idx[t])
+                obs_p.append(kf.landmarks[t])
+        O = len(obs_f)
+        if O < 10:
+            return
+        Fb = self.params.num_active_frames + 1
+        Lb = _bucket(len(lm_ids), 64)
+        Ob = _bucket(O, 256)
+
+        poses = np.zeros((Fb, 7), np.float32)
+        poses[:, 0] = 1.0
+        for t, i in frame_idx.items():
+            poses[i] = self.active_frames[t].pose
+        lms = np.zeros((Lb, 3), np.float32)
+        for t, i in lm_idx.items():
+            lms[i] = self.map.landmarks[t]
+        of = np.zeros(Ob, np.int32)
+        ol = np.zeros(Ob, np.int32)
+        op = np.zeros((Ob, 2), np.float32)
+        om = np.zeros(Ob, bool)
+        of[:O] = obs_f
+        ol[:O] = obs_l
+        op[:O] = obs_p
+        om[:O] = True
+        fixed = np.zeros(Fb, bool)
+        fixed[: min(2, F)] = True
+        fixed[F:] = True  # padding frames pinned
+
+        new_poses, new_lms, cost, cost0 = ba.ba_solve(
+            jnp.asarray(poses), jnp.asarray(lms), self.intr,
+            jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op), jnp.asarray(om),
+            jnp.asarray(fixed),
+            num_iters=self.params.max_iterations, huber=self.params.huber_loss,
+        )
+        new_poses = np.asarray(new_poses, np.float64)
+        new_lms = np.asarray(new_lms, np.float64)
+        for t, i in frame_idx.items():
+            self.active_frames[t].pose = new_poses[i]
+        for t, i in lm_idx.items():
+            self.map.landmarks[t] = new_lms[i]
+        _log.info("BA: cost %.4f -> %.4f over %d obs", float(cost0), float(cost), O)
+
+    # -- GT ---------------------------------------------------------------
+    def _sync_gt(self, t_us: int):
+        from evo_tpu.io.replay import interpolate_gt
+
+        return interpolate_gt(self.gt_t_us, self.gt_poses, t_us)
