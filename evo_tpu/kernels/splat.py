@@ -94,7 +94,10 @@ def splat_image(
         acc = acc + jnp.dot(ytap.T, xtap, preferred_element_type=dtype)
         return acc, None
 
-    init = jnp.zeros((height, width), dtype)
+    # derive the init from the inputs so its varying-manual-axes type matches
+    # the body output under shard_map (a plain zeros carry is "unvarying" and
+    # scan rejects the mismatch)
+    init = jnp.zeros((height, width), dtype) + (xs[0, 0] * 0).astype(dtype)
     out, _ = lax.scan(body, init, (xs, ys, ws))
     return out
 

@@ -174,7 +174,15 @@ def lm_solve(
 
     r0 = residual_fn(x0, data)
     cost0 = robust_cost(r0)
-    init = (x0, jnp.asarray(init_lambda, r0.dtype), cost0, jnp.asarray(0, jnp.int32))
+    # derive constants from cost0 so their varying-manual-axes types match
+    # the loop-carried outputs under shard_map
+    zero_like_cost = cost0 * 0
+    init = (
+        x0,
+        jnp.asarray(init_lambda, r0.dtype) + zero_like_cost,
+        cost0,
+        zero_like_cost.astype(jnp.int32),
+    )
     (x, lam, cost, n_acc), _ = jax.lax.scan(step, init, None, length=num_iters)
 
     r_final, J_final = linearize(x)

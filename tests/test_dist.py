@@ -1,0 +1,164 @@
+"""Distribution tests on the 8-device virtual CPU mesh: sharded decode
+parity, halo exchange, psum-reduced BA normal equations — the 1-device vs
+N-device agreement tests SURVEY.md §4 calls for."""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from evo_tpu.dist import halo, mesh, reduce, tiling
+from evo_tpu.kernels.splat import splat_image
+from evo_tpu.vo import ba
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return mesh.make_mesh(n_space=1, n_batch=8)
+
+
+@pytest.fixture(scope="module")
+def mesh_space4():
+    return mesh.make_mesh(n_space=4, n_batch=2)
+
+
+class TestShardedSplat:
+    def test_matches_single_device(self, mesh8, rng):
+        n = 8 * 1024
+        x = jnp.asarray(rng.uniform(0, 239, n), jnp.float32)
+        y = jnp.asarray(rng.uniform(0, 179, n), jnp.float32)
+        w = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+        ref = splat_image(x, y, w, 180, 240, chunk=1024)
+        out = tiling.sharded_splat(mesh8, x, y, w, 180, 240, chunk=1024)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+class TestHalo:
+    def test_exchange_halo_strips(self, mesh_space4):
+        # field [4, 8] sharded into 4 column blocks of 2
+        field = jnp.arange(32, dtype=jnp.float32).reshape(4, 8)
+
+        @partial(
+            jax.shard_map, mesh=mesh_space4,
+            in_specs=P(None, mesh.SPACE_AXIS),
+            out_specs=(P(None, mesh.SPACE_AXIS), P(None, mesh.SPACE_AXIS)),
+        )
+        def run(local):
+            return halo.exchange_halo(local, width=1, axis=1)
+
+        from_left, from_right = run(field)
+        fl = np.asarray(from_left)
+        fr = np.asarray(from_right)
+        # device owning cols [2,3] receives col 1 from the left and col 4
+        # from the right
+        np.testing.assert_allclose(fl[:, 1], np.asarray(field)[:, 1])
+        np.testing.assert_allclose(fr[:, 1], np.asarray(field)[:, 4])
+        # left edge device receives zeros from the (nonexistent) left
+        np.testing.assert_allclose(fl[:, 0], 0.0)
+        np.testing.assert_allclose(fr[:, 3], 0.0)
+
+    def test_halo_reduction_matches_unsharded_splat(self, mesh_space4, rng):
+        """Gaussian splat with the image sharded into column blocks: events
+        are splatted into halo-padded local blocks, margins are ppermute'd
+        to neighbors, and the stitched result must match the unsharded
+        splat (radius-3 stamps crossing shard boundaries included)."""
+        H, W = 32, 64
+        n_dev = 4
+        wloc = W // n_dev
+        halo_w = 3
+        n = 512
+        x = rng.uniform(3, W - 3, n).astype(np.float32)
+        y = rng.uniform(3, H - 3, n).astype(np.float32)
+        w = rng.choice([-1.0, 1.0], n).astype(np.float32)
+        ref = splat_image(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(w), H, W,
+            mode="gaussian", chunk=128,
+        )
+
+        # each device gets ALL events (broadcast) but only splats those
+        # belonging to its padded block; exactness comes from halo folding
+        owner = np.clip((x // wloc).astype(np.int32), 0, n_dev - 1)
+
+        @partial(
+            jax.shard_map, mesh=mesh_space4,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(None, mesh.SPACE_AXIS),
+        )
+        def run(xs, ys, ws, own):
+            dev = jax.lax.axis_index(mesh.SPACE_AXIS)
+            mine = (own == dev).astype(ws.dtype)
+            x_loc = xs - dev * wloc + halo_w  # local padded coords
+            local = splat_image(
+                x_loc, ys, ws * mine, H, wloc + 2 * halo_w,
+                mode="gaussian", chunk=128,
+            )
+            return halo.splat_with_halo_reduction(
+                local, axis_name=mesh.SPACE_AXIS, halo_width=halo_w, axis=1
+            )
+
+        out = run(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w), jnp.asarray(owner))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+class TestShardedBA:
+    def test_normal_equations_match_psum(self, mesh8, rng):
+        import tests.test_vo as tv
+
+        intr, poses, pts, (of, ol, op) = tv._synthetic_ba_problem(rng)
+        O = len(of)
+        Ob = ((O + 7) // 8) * 8  # pad to multiple of 8 for sharding
+        pad = Ob - O
+        of = np.concatenate([of, np.zeros(pad, np.int32)])
+        ol = np.concatenate([ol, np.zeros(pad, np.int32)])
+        op = np.concatenate([op, np.zeros((pad, 2), np.float32)])
+        om = np.concatenate([np.ones(O, bool), np.zeros(pad, bool)])
+        fixed = np.zeros(poses.shape[0], bool)
+        fixed[:2] = True
+
+        Hpp, Hll, A, bp, bl = reduce.sharded_normal_equations(
+            mesh8, poses, pts, intr,
+            jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op),
+            jnp.asarray(om), jnp.asarray(fixed),
+        )
+        # reference single-device assembly (same math, no mesh)
+        mesh1 = mesh.make_mesh(n_space=1, n_batch=1, devices=jax.devices()[:1])
+        rHpp, rHll, rA, rbp, rbl = reduce.sharded_normal_equations(
+            mesh1, poses, pts, intr,
+            jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op),
+            jnp.asarray(om), jnp.asarray(fixed),
+        )
+        np.testing.assert_allclose(np.asarray(Hpp), np.asarray(rHpp), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Hll), np.asarray(rHll), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bp), np.asarray(rbp), rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(bl), np.asarray(rbl), rtol=1e-4, atol=1e-2)
+
+
+class TestShardedPatchSolve:
+    def test_patch_table_shards_over_batch(self, mesh8):
+        """The alignment solve runs shard-wise over the patch table with no
+        cross-patch dependence: 8-way sharded result == single-device."""
+        import tests.test_tracker as tt
+        from evo_tpu.tracker import align
+        from evo_tpu.tracker import patch_state as ps
+
+        table = tt.empty_with_patches(
+            centers=[(40.0 + 16 * i, 60.0) for i in range(8)]
+        )
+        table = tt.route_uniform(table, 120)
+        grads = jnp.zeros((ps.GRAD_SLOTS, 180, 240, 2), jnp.float32)
+
+        ref_table, ref_info = align.optimize_ready_patches(table, grads)
+
+        def solve_fn(tbl, g):
+            t2, info = align.optimize_ready_patches(tbl, g)
+            return t2.center
+
+        out = tiling.sharded_patch_solve(mesh8, solve_fn, table, grads)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_table.center), atol=1e-4
+        )
