@@ -1,0 +1,80 @@
+"""Command-line entry point.
+
+Counterpart of the reference's `tools/visualizer/main.cpp:16-140` minus the
+Pangolin GUI (out of scope for the TPU core — SURVEY.md §2.2): the same
+`--dataset` wiring of reader → replay → evaluator, plus experiment-mode
+flags, artifact output, and optional PNG dumps of the compensated event
+image (the offline replacement for the GUI views).
+
+Usage:
+    python -m evo_tpu.run.cli --dataset /path/to/shapes_6dof --output-dir /tmp
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="evo_tpu event-based visual odometry")
+    ap.add_argument("--dataset", required=True, help="DAVIS240C dataset directory")
+    ap.add_argument("--output-dir", default="/tmp", help="artifact directory")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--tracker-experiment", action="store_true",
+                    help="freeze detection after 2 frames (feature-age study)")
+    ap.add_argument("--vo-experiment", action="store_true",
+                    help="bypass tracker; replay trajectory.txt into VO")
+    ap.add_argument("--no-compensation", action="store_true",
+                    help="skip whole-image contrast compensation")
+    ap.add_argument("--dump-images", action="store_true",
+                    help="write compensated event image PNGs to output dir")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname).1s %(name)s: %(message)s",
+    )
+
+    from evo_tpu.io.davis import Davis240cDataset
+    from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
+
+    t0 = time.perf_counter()
+    dataset = Davis240cDataset(args.dataset)
+    params = EvaluatorParams(
+        output_dir=args.output_dir,
+        tracker_experiment=args.tracker_experiment,
+        vo_experiment=args.vo_experiment,
+        run_compensation=not args.no_compensation,
+    )
+    ev = Evaluator(dataset, params)
+    ev.run(max_frames=args.max_frames)
+    paths = ev.finish()
+    dt = time.perf_counter() - t0
+
+    if args.dump_images and ev.compensated_image is not None:
+        import numpy as np
+        from PIL import Image
+
+        img = ev.compensated_image
+        norm = (255 * img / max(1e-9, img.max())).astype("uint8")
+        out = f"{args.output_dir}/compensated_event_image.png"
+        Image.fromarray(norm, mode="L").save(out)
+        paths["compensated_image"] = out
+
+    n_ev = len(dataset.events)
+    print(f"processed {n_ev} events, {ev.image_num} frames in {dt:.1f}s "
+          f"({n_ev / max(dt, 1e-9) / 1e6:.2f} Mev/s end-to-end)")
+    for name, path in paths.items():
+        print(f"  {name}: {path}")
+    if ev.vo is not None and ev.vo.last_ate is not None:
+        a = ev.vo.last_ate
+        print(f"  ATE rmse={a.rmse:.4f} mean={a.mean:.4f} max={a.max:.4f} (n={a.count})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

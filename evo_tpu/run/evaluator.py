@@ -1,0 +1,175 @@
+"""Evaluator — the pipeline orchestrator wiring tracker → VO.
+
+Capability counterpart of the reference's `Evaluator`
+(`tools/evaluator/src/evaluator.cpp`), restructured around bulk-synchronous
+frame windows (evo_tpu.io.replay.FrameWindowIterator) instead of per-sample
+callbacks:
+
+- events feed the tracker in sub-batches (`eventCallback`, :32-45) and a
+  whole-image contrast compensation fires every 300 ms or 15 k events
+  (`evaluator.h:21-22`);
+- each frame runs detection/association/KLT (`imageCallback`, :51-101), and
+  from the 3rd frame on the live patch centers become a VO keyframe
+  candidate;
+- experiment modes: `tracker_experiment` freezes detection after 2 frames
+  (feature-age protocol, :56-62), `vo_experiment` bypasses the tracker and
+  replays stored per-timestamp tracks into VO (:67-79, 90-99);
+- artifacts written on `finish()` (the reference writes from the destructor,
+  :15-21): trajectory.txt / vo_trajectory.txt / final_cost.txt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from evo_tpu.io.davis import Davis240cDataset
+from evo_tpu.io.replay import FrameWindowIterator
+from evo_tpu.run import artifacts
+from evo_tpu.tracker import compensate as comp
+from evo_tpu.tracker.detector import EventTracker, TrackerParams
+from evo_tpu.vo.frontend import VisualOdometryFrontEnd, VoParams
+from evo_tpu.vo.keyframe import Keyframe
+
+_log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class EvaluatorParams:
+    """Mirror of `EvaluatorParams` (evaluator.h:14-25)."""
+
+    output_dir: str = "/tmp"
+    compensation_time_us: int = 300_000
+    compensation_events: int = 15_000
+    tracker_experiment: bool = False
+    vo_experiment: bool = False
+    run_compensation: bool = True
+    tracker: TrackerParams = dataclasses.field(default_factory=TrackerParams)
+    vo: VoParams = dataclasses.field(default_factory=VoParams)
+    compensate: comp.CompensateParams = dataclasses.field(
+        default_factory=comp.CompensateParams
+    )
+
+
+class Evaluator:
+    def __init__(self, dataset: Davis240cDataset, params: EvaluatorParams | None = None):
+        self.params = params or EvaluatorParams()
+        self.dataset = dataset
+        h = dataset.calib.height if dataset.calib else 180
+        w = dataset.calib.width if dataset.calib else 240
+        self.height, self.width = h, w
+        self.tracker = EventTracker(self.params.tracker, h, w)
+        self.vo = (
+            VisualOdometryFrontEnd(dataset.calib, self.params.vo)
+            if dataset.calib is not None
+            else None
+        )
+        if self.vo is not None and len(dataset.gt_t_us):
+            self.vo.set_ground_truth(dataset.gt_t_us, dataset.gt_poses)
+        self.image_num = 0
+        # global event buffer for whole-image compensation
+        self._buf: list[np.ndarray] = []
+        self._buf_count = 0
+        self._last_compensation_us: int | None = None
+        self.compensated_image: np.ndarray | None = None
+        self.motion_field: np.ndarray | None = None
+        # VO-experiment replay store: t_us -> {track_id: (x, y)}
+        self._stored_tracks: dict[int, dict[int, np.ndarray]] = {}
+        if self.params.vo_experiment and dataset.trajectory:
+            for tid, (t_us_arr, xy) in dataset.trajectory.items():
+                for t, p in zip(t_us_arr, xy):
+                    self._stored_tracks.setdefault(int(t), {})[tid] = p
+
+    # -- event path ------------------------------------------------------
+    def process_events(self, t_us: np.ndarray, x, y, pol) -> None:
+        if len(t_us) == 0:
+            return
+        if not self.params.vo_experiment:
+            self.tracker.process_events(t_us, x, y, pol)
+        if not self.params.run_compensation:
+            return
+        if self._last_compensation_us is None:
+            self._last_compensation_us = int(t_us[0])
+        self._buf.append(np.stack([t_us, x, y, pol], axis=-1))
+        self._buf_count += len(t_us)
+        while self._buf_count and (
+            int(t_us[-1]) - self._last_compensation_us >= self.params.compensation_time_us
+            or self._buf_count >= self.params.compensation_events
+        ):
+            self._run_compensation()
+
+    def _run_compensation(self) -> None:
+        ev = np.concatenate(self._buf, axis=0)[: self.params.compensation_events]
+        rest = np.concatenate(self._buf, axis=0)[self.params.compensation_events:]
+        self._buf = [rest] if len(rest) else []
+        self._buf_count = len(rest)
+        self._last_compensation_us = int(ev[-1, 0])
+        if len(ev) < self.params.compensate.min_events:
+            return
+        field, img, cost, cost0 = comp.compensate_window(
+            ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
+            ev[:, 0].astype(np.int64), self.params.compensate,
+            height=self.height, width=self.width,
+        )
+        self.motion_field = field
+        self.compensated_image = img
+        _log.info(
+            "compensated %d events (cost %.1f -> %.1f)", len(ev), cost0, cost
+        )
+
+    # -- frame path ------------------------------------------------------
+    def process_image(self, t_us: int, image: np.ndarray) -> None:
+        self.image_num += 1
+        if self.params.tracker_experiment and self.image_num > 2:
+            pass  # detection frozen: feature-age protocol
+        elif not self.params.vo_experiment:
+            self.tracker.new_image(t_us, image)
+
+        if self.image_num > 2 and self.vo is not None and not self.params.tracker_experiment:
+            lms = self._live_landmarks(t_us)
+            if lms:
+                kf = Keyframe(t_us=int(t_us), landmarks=lms)
+                self.vo.new_keyframe_candidate(kf)
+
+    def _live_landmarks(self, t_us: int) -> dict[int, np.ndarray]:
+        if self.params.vo_experiment:
+            return dict(self._stored_tracks.get(int(t_us), {}))
+        from evo_tpu.tracker import patch_state as ps
+
+        mirror = ps.host_mirror(self.tracker.table)
+        return {
+            int(mirror["track_id"][i]): mirror["center"][i].astype(np.float64)
+            for i in np.flatnonzero(mirror["alive"])
+        }
+
+    # -- drive -----------------------------------------------------------
+    def run(self, max_frames: int | None = None) -> None:
+        """Replay the dataset through the pipeline frame-window by
+        frame-window (the bulk-synchronous equivalent of main.cpp:76-137)."""
+        for win in FrameWindowIterator(self.dataset):
+            if max_frames is not None and win.frame_idx >= max_frames:
+                break
+            ev = win.events
+            self.process_events(
+                ev.t_us, ev.x.astype(np.float64), ev.y.astype(np.float64),
+                ev.p.astype(np.float64),
+            )
+            self.process_image(win.image_t_us, win.image)
+
+    def finish(self) -> dict[str, str]:
+        """Write all artifacts; returns {name: path}."""
+        out = {}
+        out["trajectory"] = artifacts.save_features_trajectory(
+            self.params.output_dir, self.tracker.trajectories
+        )
+        if self.vo is not None:
+            poses = [kf.pose for kf in self.vo.stored_frames] + [
+                self.vo.active_frames[t].pose for t in sorted(self.vo.active_frames)
+            ]
+            out["vo_trajectory"] = artifacts.save_poses(self.params.output_dir, poses)
+        out["final_cost"] = artifacts.save_final_costs(
+            self.params.output_dir, self.tracker.final_cost_log
+        )
+        return out

@@ -295,9 +295,9 @@ class EventTracker:
     def _process_sub_batch(self, t_us, x, y, pol) -> None:
         cap = self.params.sub_batch_events
         n = len(t_us)
-        t_rel = (t_us - (self.epoch_us or int(t_us[0]))) / US_PER_S
         if self.epoch_us is None:
             self.epoch_us = int(t_us[0])
+        t_rel = (t_us - self.epoch_us) / US_PER_S
 
         def pad(a, dtype=np.float32):
             out = np.zeros(cap, dtype)
