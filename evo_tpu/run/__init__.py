@@ -1,1 +1,1 @@
-from evo_tpu.run import artifacts, evaluator  # noqa: F401
+from evo_tpu.run import artifacts, checkpoint, evaluator, metrics, viz  # noqa: F401

@@ -31,6 +31,16 @@ def main(argv=None) -> int:
                     help="skip whole-image contrast compensation")
     ap.add_argument("--dump-images", action="store_true",
                     help="write compensated event image PNGs to output dir")
+    ap.add_argument("--compensation-mode", choices=("contrast", "tracks"),
+                    default="contrast")
+    ap.add_argument("--checkpoint", default=None,
+                    help="write a checkpoint .npz here when done")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a checkpoint .npz")
+    ap.add_argument("--viz", action="store_true",
+                    help="render trajectory plot + patch debug views")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace into this directory")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -49,10 +59,40 @@ def main(argv=None) -> int:
         tracker_experiment=args.tracker_experiment,
         vo_experiment=args.vo_experiment,
         run_compensation=not args.no_compensation,
+        compensation_mode=args.compensation_mode,
     )
-    ev = Evaluator(dataset, params)
-    ev.run(max_frames=args.max_frames)
+    if args.resume:
+        from evo_tpu.run import checkpoint as ckpt
+
+        ev = ckpt.load_checkpoint(args.resume, dataset, params)
+        start = ev.image_num
+    else:
+        ev = Evaluator(dataset, params)
+        start = 0
+
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile_dir:
+        from evo_tpu.run.metrics import profile_trace
+
+        prof = profile_trace(args.profile_dir)
+    with prof:
+        ev.run(max_frames=args.max_frames, start_frame=start)
     paths = ev.finish()
+    if args.checkpoint:
+        from evo_tpu.run import checkpoint as ckpt
+
+        paths["checkpoint"] = ckpt.save_checkpoint(args.checkpoint, ev)
+    if args.viz:
+        from evo_tpu.run import viz
+
+        if ev.vo is not None:
+            p = viz.plot_trajectories(f"{args.output_dir}/trajectory_plot.png", ev.vo)
+            if p:
+                paths["trajectory_plot"] = p
+        if ev.tracker.num_live > 0:
+            paths.update(viz.save_patch_views(args.output_dir, ev.tracker))
     dt = time.perf_counter() - t0
 
     if args.dump_images and ev.compensated_image is not None:

@@ -28,6 +28,7 @@ import numpy as np
 from evo_tpu.io.davis import Davis240cDataset
 from evo_tpu.io.replay import FrameWindowIterator
 from evo_tpu.run import artifacts
+from evo_tpu.run.metrics import Counters
 from evo_tpu.tracker import compensate as comp
 from evo_tpu.tracker.detector import EventTracker, TrackerParams
 from evo_tpu.vo.frontend import VisualOdometryFrontEnd, VoParams
@@ -46,6 +47,10 @@ class EvaluatorParams:
     tracker_experiment: bool = False
     vo_experiment: bool = False
     run_compensation: bool = True
+    # "contrast": per-tile edge maximization (compensateEventsContrast);
+    # "tracks": dense motion field from feature tracks with TV/harmonic
+    # interpolation (the reference's compensateEvents path)
+    compensation_mode: str = "contrast"
     tracker: TrackerParams = dataclasses.field(default_factory=TrackerParams)
     vo: VoParams = dataclasses.field(default_factory=VoParams)
     compensate: comp.CompensateParams = dataclasses.field(
@@ -69,6 +74,7 @@ class Evaluator:
         if self.vo is not None and len(dataset.gt_t_us):
             self.vo.set_ground_truth(dataset.gt_t_us, dataset.gt_poses)
         self.image_num = 0
+        self.counters = Counters()
         # global event buffer for whole-image compensation
         self._buf: list[np.ndarray] = []
         self._buf_count = 0
@@ -86,8 +92,12 @@ class Evaluator:
     def process_events(self, t_us: np.ndarray, x, y, pol) -> None:
         if len(t_us) == 0:
             return
+        self.counters.add("events", len(t_us))
         if not self.params.vo_experiment:
-            self.tracker.process_events(t_us, x, y, pol)
+            n0 = len(self.tracker.final_cost_log)
+            with self.counters.timed("tracker_events"):
+                self.tracker.process_events(t_us, x, y, pol)
+            self.counters.add("solves", len(self.tracker.final_cost_log) - n0)
         if not self.params.run_compensation:
             return
         if self._last_compensation_us is None:
@@ -108,6 +118,19 @@ class Evaluator:
         self._last_compensation_us = int(ev[-1, 0])
         if len(ev) < self.params.compensate.min_events:
             return
+        if self.params.compensation_mode == "tracks":
+            from evo_tpu.tracker import motion_field as mf
+
+            field, img = mf.compensate_from_tracks(
+                self.tracker.trajectories,
+                ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
+                ev[:, 0].astype(np.int64),
+                height=self.height, width=self.width,
+            )
+            self.motion_field = field
+            self.compensated_image = img
+            _log.info("track-field compensated %d events", len(ev))
+            return
         field, img, cost, cost0 = comp.compensate_window(
             ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
             ev[:, 0].astype(np.int64), self.params.compensate,
@@ -122,6 +145,7 @@ class Evaluator:
     # -- frame path ------------------------------------------------------
     def process_image(self, t_us: int, image: np.ndarray) -> None:
         self.image_num += 1
+        self.counters.add("frames")
         if self.params.tracker_experiment and self.image_num > 2:
             pass  # detection frozen: feature-age protocol
         elif not self.params.vo_experiment:
@@ -145,10 +169,14 @@ class Evaluator:
         }
 
     # -- drive -----------------------------------------------------------
-    def run(self, max_frames: int | None = None) -> None:
+    def run(self, max_frames: int | None = None, start_frame: int = 0) -> None:
         """Replay the dataset through the pipeline frame-window by
-        frame-window (the bulk-synchronous equivalent of main.cpp:76-137)."""
+        frame-window (the bulk-synchronous equivalent of main.cpp:76-137).
+        `start_frame` resumes mid-sequence (see run.checkpoint); the frame
+        cursor is `self.image_num`."""
         for win in FrameWindowIterator(self.dataset):
+            if win.frame_idx < start_frame:
+                continue
             if max_frames is not None and win.frame_idx >= max_frames:
                 break
             ev = win.events

@@ -1,1 +1,7 @@
-from evo_tpu.tracker import align, compensate, detector, patch_state  # noqa: F401
+from evo_tpu.tracker import (  # noqa: F401
+    align,
+    compensate,
+    detector,
+    motion_field,
+    patch_state,
+)

@@ -247,6 +247,32 @@ def predicted_nabla(table: ps.PatchTable, grads: jax.Array):
     return jax.vmap(one)(table.warp, table.flow, table.center, grad_per_patch)
 
 
+def cost_map(table: ps.PatchTable, grads: jax.Array, patch_idx: int,
+             half_width: int = 5):
+    """Brute-force alignment-cost map over integer translations of one
+    patch's warp — the reference's debugging cost map
+    (`Optimizer::drawCostMap`, optimizer.cpp:32-60; 11x11 default from
+    `optimizer.h:21-22` costMapWidth/Height). Returns [(2h+1), (2h+1)]."""
+    integrated = integrate_events(table)[patch_idx]
+    frob = jnp.sqrt(jnp.sum(integrated**2)) + 1e-12
+    norm_int = (integrated / frob).reshape(-1)
+    grad = grads[table.grad_slot[patch_idx]]
+    center = table.center[patch_idx]
+    base = jnp.concatenate([table.warp[patch_idx], table.flow[patch_idx][None]])
+    offs = jnp.arange(-half_width, half_width + 1, dtype=jnp.float32)
+    ox, oy = jnp.meshgrid(offs, offs)
+
+    def cost_at(dx, dy):
+        p = base.at[2].add(dx).at[3].add(dy)
+        r = alignment_residual(p, (norm_int, grad, center))
+        s = jnp.sum(r * r)
+        n = jnp.sqrt(s + 1e-12)
+        rho = jnp.where(n <= HUBER, s, 2.0 * HUBER * n - HUBER * HUBER)
+        return 0.5 * rho
+
+    return jax.vmap(jax.vmap(cost_at))(ox, oy)
+
+
 def motion_compensated_integration(table: ps.PatchTable, prev_traj_pt, prev_traj_t):
     """[P, S, S] per-patch translational motion-compensated integration
     (`Patch::integrateMotionCompensatedEvents`, patch.cpp:87-130): each event
