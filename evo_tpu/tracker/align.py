@@ -43,6 +43,20 @@ LOST_COST_THRESHOLD = 0.6
 TIME_WITHOUT_UPDATE_SCALE = 1.0  # seconds·px (reference 1e6 µs·px)
 
 
+def _nearest_sep_splat(rx, ry, w):
+    """Separable nearest splat of per-patch events into [P, S, S]: one-hot
+    row/column tap matrices contracted on the MXU instead of XLA scatter
+    (the same image = Yᵀ@X trick as kernels.splat, exact for integer-rounded
+    coordinates). rx, ry: [P, E] integer-valued f32 patch coords; w: [P, E]."""
+    grid = jnp.arange(ps.PATCH_SIDE, dtype=jnp.float32)
+    ytap = (jnp.abs(ry[:, :, None] - grid) < 0.5).astype(jnp.float32)  # [P, E, S]
+    xtap = (jnp.abs(rx[:, :, None] - grid) < 0.5).astype(jnp.float32)
+    return jnp.einsum(
+        "pes,pet->pst", ytap * w[:, :, None], xtap,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def integrate_events(table: ps.PatchTable) -> jax.Array:
     """[P, S, S] signed nearest-pixel event integration over current rects
     (`Patch::integrateEvents`, patch.cpp:65-85). Events outside the (possibly
@@ -51,18 +65,13 @@ def integrate_events(table: ps.PatchTable) -> jax.Array:
     tlx = table.center[:, 0] - ps.PATCH_EXTENT  # [P]
     tly = table.center[:, 1] - ps.PATCH_EXTENT
     # relative integer coords (events carry integer pixel positions)
-    rx = jnp.round(x - tlx[:, None]).astype(jnp.int32)
-    ry = jnp.round(y - tly[:, None]).astype(jnp.int32)
-    inside = (rx >= 0) & (rx < ps.PATCH_SIDE) & (ry >= 0) & (ry < ps.PATCH_SIDE)
+    rx = jnp.round(x - tlx[:, None])
+    ry = jnp.round(y - tly[:, None])
+    inside = (
+        (rx >= 0) & (rx < ps.PATCH_SIDE) & (ry >= 0) & (ry < ps.PATCH_SIDE)
+    )
     w = jnp.where(valid & inside, p_sign, 0.0)
-    flat = jnp.where(inside, ry * ps.PATCH_SIDE + rx, 0)
-    one_hot_dim = ps.PATCH_SIDE * ps.PATCH_SIDE
-
-    def per_patch(flat_i, w_i):
-        img = jnp.zeros(one_hot_dim, jnp.float32).at[flat_i].add(w_i)
-        return img.reshape(ps.PATCH_SIDE, ps.PATCH_SIDE)
-
-    return jax.vmap(per_patch)(flat, w)
+    return _nearest_sep_splat(rx, ry, w)
 
 
 def batch_timestamps(table: ps.PatchTable):
@@ -287,14 +296,11 @@ def motion_compensated_integration(table: ps.PatchTable, prev_traj_pt, prev_traj
     cy = y + shift * dirv[:, 1:2]
     tlx = table.center[:, 0] - ps.PATCH_EXTENT
     tly = table.center[:, 1] - ps.PATCH_EXTENT
-    rx = jnp.round(cx - tlx[:, None]).astype(jnp.int32)
-    ry = jnp.round(cy - tly[:, None]).astype(jnp.int32)
-    inside = (rx >= 0) & (rx < ps.PATCH_SIDE) & (ry >= 0) & (ry < ps.PATCH_SIDE)
+    # truncation toward zero matches the reference's Point2i cast
+    rx = jnp.trunc(cx - tlx[:, None])
+    ry = jnp.trunc(cy - tly[:, None])
+    inside = (
+        (rx >= 0) & (rx < ps.PATCH_SIDE) & (ry >= 0) & (ry < ps.PATCH_SIDE)
+    )
     w = jnp.where(valid & inside, p_sign, 0.0)
-    flat = jnp.where(inside, ry * ps.PATCH_SIDE + rx, 0)
-
-    def per_patch(flat_i, w_i):
-        img = jnp.zeros(ps.PATCH_SIDE * ps.PATCH_SIDE, jnp.float32).at[flat_i].add(w_i)
-        return img.reshape(ps.PATCH_SIDE, ps.PATCH_SIDE)
-
-    return jax.vmap(per_patch)(flat, w)
+    return _nearest_sep_splat(rx, ry, w)

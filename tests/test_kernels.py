@@ -234,3 +234,18 @@ class TestGradients:
     def test_pyramid_shapes(self):
         levels = gradients.image_pyramid(jnp.zeros((64, 48)), 3)
         assert [l.shape for l in levels] == [(64, 48), (32, 24), (16, 12)]
+
+
+class TestPallasSplat:
+    def test_matches_xla_splat(self, rng):
+        """The hand-written Pallas kernel (interpret mode on CPU) matches
+        the XLA matmul splat bit-for-bit-ish."""
+        from evo_tpu.kernels.splat_pallas import splat_image_pallas
+
+        n = 2000
+        x = jnp.asarray(rng.uniform(0, 239, n), jnp.float32)
+        y = jnp.asarray(rng.uniform(0, 179, n), jnp.float32)
+        w = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+        a = splat_image_pallas(x, y, w, 180, 240, chunk=512, interpret=True)
+        b = splat.splat_image(x, y, w, 180, 240)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
