@@ -1,1 +1,1 @@
-from evo_tpu.dist import halo, mesh, reduce, tiling  # noqa: F401
+from evo_tpu.dist import halo, mesh, multihost, reduce, tiling  # noqa: F401
