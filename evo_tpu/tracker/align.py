@@ -240,6 +240,35 @@ def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
     return new_table, info
 
 
+@jax.jit
+def process_window_scan(table: ps.PatchTable, grads: jax.Array,
+                        ex, ey, et, ep, mask, latest_grad):
+    """Process a whole frame window in ONE device dispatch: `lax.scan` over
+    K event sub-batches, each step routing events and running the batched
+    alignment solve + budget update — the production event path (the
+    per-sub-batch host loop in detector.process_events costs one host→device
+    round trip per sub-batch, which dominates on remote-attached TPUs).
+
+    ex, ey, et, ep: [K, C] sub-batched events; mask [K, C] validity;
+    latest_grad [H, W, 2] = newest detection frame's gradients (budget
+    update input). Returns (table', stacked per-step info dict with
+    ran/cost/lost [K, P] and center [K, P, 2]).
+    """
+
+    def step(tbl, inp):
+        bx, by, bt, bp_, bm = inp
+        tbl = ps.route_events(tbl, bx, by, bt, bp_, bm)
+        tbl, info = optimize_ready_patches(tbl, grads)
+        tbl = update_num_of_events(tbl, latest_grad)
+        out = dict(ran=info["ran"], cost=info["cost"], lost=info["lost"],
+                   center=tbl.center, cur_t=tbl.cur_t,
+                   alive=tbl.alive, track_id=tbl.track_id)
+        return tbl, out
+
+    table, stacked = jax.lax.scan(step, table, (ex, ey, et, ep, mask))
+    return table, stacked
+
+
 def predicted_nabla(table: ps.PatchTable, grads: jax.Array):
     """[P, S, S] predicted gradient patches −(g(W·a)·(cosφ, sinφ)) — the
     visualization/debug quantity of `Patch::warpImage` (patch.cpp:139-160)."""

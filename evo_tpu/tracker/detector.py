@@ -66,6 +66,9 @@ class TrackerParams:
     # sub-batching of the event stream between solves
     sub_batch_events: int = 5_000
     sub_batch_duration_us: int = 10_000
+    # process a whole window's sub-batches in one device dispatch
+    # (lax.scan); False = one dispatch per sub-batch (debug/step mode)
+    use_device_scan: bool = True
 
 
 @partial(jax.jit, static_argnames=())
@@ -284,13 +287,72 @@ class EventTracker:
         n = len(t_us)
         if n == 0:
             return
+        bounds = []
         lo = 0
         while lo < n:
             hi_cnt = min(lo + p.sub_batch_events, n)
             hi_time = int(np.searchsorted(t_us, t_us[lo] + p.sub_batch_duration_us, "left"))
             hi = max(lo + 1, min(hi_cnt, hi_time))
-            self._process_sub_batch(t_us[lo:hi], x[lo:hi], y[lo:hi], pol[lo:hi])
+            bounds.append((lo, hi))
             lo = hi
+        if p.use_device_scan:
+            self._process_window_device(t_us, x, y, pol, bounds)
+        else:
+            for lo, hi in bounds:
+                self._process_sub_batch(t_us[lo:hi], x[lo:hi], y[lo:hi], pol[lo:hi])
+
+    def _process_window_device(self, t_us, x, y, pol, bounds) -> None:
+        """One fused device dispatch for the whole window (lax.scan over
+        sub-batches; see align.process_window_scan)."""
+        if self.epoch_us is None:
+            self.epoch_us = int(t_us[0])
+        cap = self.params.sub_batch_events
+        k = len(bounds)
+        kb = 1
+        while kb < k:
+            kb *= 2
+        ex = np.zeros((kb, cap), np.float32)
+        ey = np.zeros((kb, cap), np.float32)
+        et = np.zeros((kb, cap), np.float32)
+        ep = np.zeros((kb, cap), np.float32)
+        mask = np.zeros((kb, cap), bool)
+        for i, (lo, hi) in enumerate(bounds):
+            m = hi - lo
+            ex[i, :m] = x[lo:hi]
+            ey[i, :m] = y[lo:hi]
+            et[i, :m] = (t_us[lo:hi] - self.epoch_us) / US_PER_S
+            ep[i, :m] = pol[lo:hi]
+            mask[i, :m] = True
+        latest = self.grads[self._latest_slot()]
+        self.table, stacked = align.process_window_scan(
+            self.table, self.grads,
+            jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(et), jnp.asarray(ep),
+            jnp.asarray(mask), latest,
+        )
+        self._log_scan(stacked, k)
+        self._archive_dead()
+
+    def _log_scan(self, stacked, k: int) -> None:
+        ran = np.asarray(stacked["ran"])[:k]  # [K, P]
+        if not ran.any():
+            return
+        cost = np.asarray(stacked["cost"])[:k]
+        cur_t = np.asarray(stacked["cur_t"])[:k]
+        center = np.asarray(stacked["center"])[:k]
+        alive = np.asarray(stacked["alive"])[:k]
+        tid_arr = np.asarray(stacked["track_id"])[:k]
+        for step in range(k):
+            for i in np.flatnonzero(ran[step]):
+                tid = int(tid_arr[step, i])
+                if tid < 0:
+                    continue
+                t_abs = self._abs_us(float(cur_t[step, i]))
+                self.final_cost_log.append((tid, float(cost[step, i]), t_abs))
+                if alive[step, i]:
+                    cx, cy = center[step, i]
+                    self.trajectories.setdefault(tid, []).append(
+                        (t_abs, float(cx), float(cy))
+                    )
 
     def _process_sub_batch(self, t_us, x, y, pol) -> None:
         cap = self.params.sub_batch_events
