@@ -1,0 +1,72 @@
+"""Simulator + end-to-end quality tests.
+
+The round-trip that matters: simulate a 6-DoF sequence with exact GT, run
+the full pipeline on it, and score against the reference's headline metrics
+(BASELINE.md): tracker mean distance error and Sim3-aligned ATE.
+"""
+
+import numpy as np
+import pytest
+
+from evo_tpu.io import davis
+from evo_tpu.io.sim import EventCameraSimulator, SimParams, write_dataset
+from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
+from evo_tpu.run.quality import evaluate_tracker
+
+
+@pytest.fixture(scope="module")
+def sim_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sim")
+    sim = EventCameraSimulator(SimParams(duration_s=0.6, fps=20, substeps=6))
+    out = sim.generate()
+    write_dataset(str(root), out)
+    return str(root)
+
+
+class TestSimulator:
+    def test_dataset_roundtrip(self, sim_dataset):
+        ds = davis.Davis240cDataset(sim_dataset)
+        assert len(ds.events) > 20_000
+        assert ds.num_images == 12
+        assert len(ds.gt_t_us) == 12
+        assert bool(np.all(np.diff(ds.events.t_us) >= 0))
+        # polarity roughly balanced on an oscillating trajectory
+        frac_pos = (ds.events.p > 0).mean()
+        assert 0.3 < frac_pos < 0.7
+
+    def test_events_consistent_with_frames(self, sim_dataset):
+        """Event counts concentrate where the image actually changed."""
+        ds = davis.Davis240cDataset(sim_dataset)
+        f0 = ds.image(0)
+        f5 = ds.image(5)
+        dlog = np.abs(np.log(f0 + 0.1) - np.log(f5 + 0.1))
+        sel = (ds.events.t_us >= ds.image_t_us[0]) & (ds.events.t_us < ds.image_t_us[5])
+        counts = np.zeros_like(f0)
+        np.add.at(counts, (ds.events.y[sel], ds.events.x[sel]), 1)
+        # pixels with many events should have changed more than quiet pixels
+        busy = counts >= np.percentile(counts, 99)
+        quiet = counts == 0
+        assert dlog[busy].mean() > 2.0 * dlog[quiet].mean()
+
+
+class TestEndToEndQuality:
+    def test_tracker_error_beats_reference(self, sim_dataset, tmp_path):
+        """Full pipeline on the simulated sequence: tracker mean distance
+        error must be <= the reference's published 1.67 px (shapes_6dof,
+        report Table 1), and the live ATE must be a small fraction of the
+        scene depth (reference Table 3: 0.36%-3.5%)."""
+        ds = davis.Davis240cDataset(sim_dataset)
+        ev = Evaluator(
+            ds, EvaluatorParams(output_dir=str(tmp_path), run_compensation=False)
+        )
+        ev.run()
+        q = evaluate_tracker(
+            ev.tracker.trajectories, ds.gt_t_us, ds.gt_poses, ds.calib,
+            plane_depth=2.0,
+        )
+        assert q.num_tracks > 30
+        assert q.mean_distance_error_px < 1.67, q
+        assert q.mean_feature_age_s > 0.2
+        if ev.vo is not None and ev.vo.last_ate is not None:
+            # ATE relative to max scene depth (plane at 2 m)
+            assert ev.vo.last_ate.rmse / 2.0 < 0.035, ev.vo.last_ate
