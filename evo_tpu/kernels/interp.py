@@ -77,6 +77,66 @@ def bicubic(img, y, x):
     return acc
 
 
+def cubic_taps(coord, size: int):
+    """Dense Catmull-Rom tap matrix [N, size]: weight of every integer grid
+    line in [0, size) for each sample coordinate.
+
+    This is the MXU formulation of bicubic sampling (same trick as the
+    separable splat in kernels.splat): instead of 16 random gathers per
+    sample — which XLA lowers to serial per-element gathers on TPU — the
+    sample becomes two dense tap-matrix contractions,
+
+        value[n] = Σ_i Σ_j  ty[n, i] · img[i, j] · tx[n, j],
+
+    with ty/tx mostly zero (support radius 2). Intended for *local windows*
+    (size ≈ 64), where the dense contraction is a few MFLOPs of MXU work.
+    Weights match `bicubic` exactly for interior points; coordinates whose
+    4-tap support extends past [0, size) lose the outside taps (callers mask
+    out-of-bounds samples anyway, matching the residual's OOB zeroing).
+    """
+    from jax import lax
+
+    grid = lax.broadcasted_iota(coord.dtype, (1, size), 1)
+    d = jnp.abs(coord[:, None] - grid)  # [N, size]
+    # Catmull-Rom kernel (a = -1/2): matches _catmull_rom_w tap-for-tap.
+    near = ((1.5 * d - 2.5) * d) * d + 1.0  # |d| <= 1
+    far = ((-0.5 * d + 2.5) * d - 4.0) * d + 2.0  # 1 < |d| < 2
+    return jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
+
+
+def cubic_taps_d(coord, size: int):
+    """d/dcoord of `cubic_taps` — derivative tap matrix [N, size]. Sampling
+    with these taps yields the spatial derivative of the interpolant, which
+    is what an analytic Jacobian of a sampling residual needs (one extra
+    matmul instead of a forward-mode pass through the sampling matmuls)."""
+    from jax import lax
+
+    grid = lax.broadcasted_iota(coord.dtype, (1, size), 1)
+    d = coord[:, None] - grid
+    ad = jnp.abs(d)
+    sgn = jnp.sign(d)
+    near = (4.5 * ad - 5.0) * ad  # d/d|d| of the |d| <= 1 branch
+    far = (-1.5 * ad + 5.0) * ad - 4.0  # 1 < |d| < 2 branch
+    return sgn * jnp.where(ad <= 1.0, near, jnp.where(ad < 2.0, far, 0.0))
+
+
+def bicubic_mxu(img, y, x):
+    """Catmull-Rom bicubic sampling via dense tap-matrix contractions
+    (MXU path). img [H, W] or [H, W, C]; y, x [N]. Returns [N] or [N, C].
+
+    Cost is O(N·H·W) dense FLOPs — use on local windows (H, W ≲ 64), where
+    it is orders of magnitude faster on TPU than the gather-based `bicubic`.
+    """
+    h, w = img.shape[0], img.shape[1]
+    ty = cubic_taps(y, h)  # [N, H]
+    tx = cubic_taps(x, w)  # [N, W]
+    if img.ndim == 2:
+        tmp = jnp.einsum("nh,hw->nw", ty, img, preferred_element_type=jnp.float32)
+        return jnp.einsum("nw,nw->n", tx, tmp, preferred_element_type=jnp.float32)
+    tmp = jnp.einsum("nh,hwc->nwc", ty, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("nw,nwc->nc", tx, tmp, preferred_element_type=jnp.float32)
+
+
 def sample(img, y, x, mode: str = "bilinear"):
     if mode == "bilinear":
         return bilinear(img, y, x)

@@ -75,11 +75,53 @@ def _block_sq_norms(r: jax.Array, block_size: int) -> jax.Array:
     return jnp.sum(r.reshape(-1, block_size) ** 2, axis=-1)
 
 
+_SMALL_SOLVE_DIM = 8
+
+
+def _solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve SPD `A x = b`. For the tiny tangent systems (T ≤ 8) this is an
+    *unrolled* scalar Cholesky — every op is a scalar that turns into one
+    vectorized lane op under `vmap` over a solve batch, instead of the
+    LAPACK-style loop kernel `cho_factor` lowers to (which serializes badly
+    on TPU for thousands of tiny systems)."""
+    t = A.shape[0]
+    if t > _SMALL_SOLVE_DIM:
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        return jax.scipy.linalg.cho_solve((L, low), b)
+    # unrolled Cholesky A = L Lᵀ
+    L = [[None] * t for _ in range(t)]
+    for i in range(t):
+        s = A[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for j in range(i + 1, t):
+            s = A[j, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s / L[i][i]
+    # forward substitution L y = b
+    y = [None] * t
+    for i in range(t):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution Lᵀ x = y
+    x = [None] * t
+    for i in reversed(range(t)):
+        s = y[i]
+        for k in range(i + 1, t):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "residual_fn", "retract", "tangent_dim", "num_iters", "block_size",
-        "huber_delta", "max_step",
+        "huber_delta", "max_step", "linearize_fn",
     ),
 )
 def lm_solve(
@@ -98,6 +140,7 @@ def lm_solve(
     min_lambda: float = 1e-9,
     max_lambda: float = 1e6,
     max_step: float | None = None,
+    linearize_fn: Callable | None = None,
 ) -> LMResult:
     """Dense damped Gauss-Newton / LM with fixed trip count.
 
@@ -114,6 +157,12 @@ def lm_solve(
     max_step : trust-region cap on the tangent-step norm. Guards against
         pathological jumps into degenerate optima (e.g. warping a patch
         fully out of the image zeroes the alignment residuals).
+    linearize_fn : optional (x, data) -> (r [R], J [R, T]) analytic
+        linearization at d = 0 in the tangent space, replacing the autodiff
+        path. Worth providing for hot residuals: forward-mode through a
+        sampling/matmul residual materializes [T, R, ...] tangent
+        intermediates, while an analytic J usually needs one extra matmul
+        (see tracker.align.alignment_linearize).
     """
     if retract is None:
         assert tangent_dim is None or tangent_dim == jnp.size(x0)
@@ -136,9 +185,16 @@ def lm_solve(
     zero_d = jnp.zeros(tangent_dim, jnp.result_type(jax.tree_util.tree_leaves(x0)[0]))
 
     def linearize(x):
+        # jax.linearize evaluates the primal once and reuses the stored
+        # linearization for every tangent — cheaper than jacfwd + a separate
+        # primal eval (the residual's nonlinear work runs once, not T+1 times)
+        if linearize_fn is not None:
+            return linearize_fn(x, data)
         f = lambda d: residual_fn(retract(x, d), data)
-        r = f(zero_d)
-        J = jax.jacfwd(f)(zero_d)  # [R, T]
+        r, jvp_fn = jax.linearize(f, zero_d)
+        J = jax.vmap(jvp_fn, out_axes=1)(
+            jnp.eye(tangent_dim, dtype=zero_d.dtype)
+        )  # [R, T]
         return r, J
 
     def step(state, _):
@@ -151,9 +207,7 @@ def lm_solve(
         g = JtW @ r  # [T]
         diag = jnp.clip(jnp.diag(A), 1e-8, None)
         A_damped = A + lam * jnp.diag(diag)
-        # Cholesky solve; fall back to generic solve on failure via jitter.
-        L, low = jax.scipy.linalg.cho_factor(A_damped, lower=True)
-        delta = -jax.scipy.linalg.cho_solve((L, low), g)
+        delta = -_solve_spd(A_damped, g)
         bad = ~jnp.all(jnp.isfinite(delta))
         delta = jnp.where(bad, jnp.zeros_like(delta), delta)
         if max_step is not None:

@@ -96,24 +96,76 @@ def _patch_abs_coords(center):
     return jnp.stack([gx.ravel() + tl[0], gy.ravel() + tl[1]], axis=-1)
 
 
+# Local gradient-window side for the MXU bicubic sampler. The SE(2) warp is
+# rigid, so every warped rect pixel lies within PATCH_EXTENT·√2 ≈ 18 px of
+# the warped center; 64 leaves ≥ 14 px of slack plus the 2-px bicubic
+# support, and 64 is MXU/VPU lane-width friendly.
+GRAD_WINDOW = 64
+
+
+def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False):
+    """Sample both gradient channels of `grad2` [2, H, W] at the SE(2)-warped
+    rect pixels of `center` — the hot sampling step of the alignment residual.
+
+    TPU formulation: one dynamic_slice of a GRAD_WINDOW² local window around
+    the warped center, then dense Catmull-Rom tap-matrix contractions
+    (kernels.interp.cubic_taps) — MXU matmuls instead of the 16-way random
+    gather Ceres' BiCubicInterpolator does per sample (optimizer_cost.h:
+    10-13), which on TPU lowers to serial gathers ~1000× slower. The store
+    is channel-major [2, H, W]: a trailing channel dim of 2 would land in
+    the TPU lane dimension and waste 126/128 of every vector register.
+
+    Returns (gx [(S²)], gy [(S²)], wpts [(S²), 2], inb [(S²)] bool).
+    """
+    h, w = grad2.shape[1], grad2.shape[2]
+    pts = _patch_abs_coords(center)
+    wpts = lie.se2_apply(se2, pts)
+    inb = (
+        (wpts[:, 0] >= 0.0) & (wpts[:, 0] < w)
+        & (wpts[:, 1] >= 0.0) & (wpts[:, 1] < h)
+    )
+    c = lie.se2_apply(se2, center)
+    # integer window origin (round/int32 have zero tangent — the solve's
+    # derivatives flow through the tap weights, not the slice origin)
+    ox = jnp.clip(jnp.round(c[0]).astype(jnp.int32) - GRAD_WINDOW // 2, 0, w - GRAD_WINDOW)
+    oy = jnp.clip(jnp.round(c[1]).astype(jnp.int32) - GRAD_WINDOW // 2, 0, h - GRAD_WINDOW)
+    win = jax.lax.dynamic_slice(
+        grad2, (0, oy, ox), (2, GRAD_WINDOW, GRAD_WINDOW)
+    )
+    ty = interp.cubic_taps(wpts[:, 1] - oy.astype(wpts.dtype), GRAD_WINDOW)
+    tx = interp.cubic_taps(wpts[:, 0] - ox.astype(wpts.dtype), GRAD_WINDOW)
+    # fold both channels into the matmul lane dim: [S, 2S] keeps the MXU
+    # N-dimension at 128 (two separate [·, S] matmuls would each pad S=64
+    # lanes up to 128 and waste half the array)
+    win_hm = jnp.transpose(win, (1, 0, 2)).reshape(GRAD_WINDOW, 2 * GRAD_WINDOW)
+    tmp = jnp.einsum("nh,hm->nm", ty, win_hm, preferred_element_type=jnp.float32)
+    gx = jnp.sum(tx * tmp[:, :GRAD_WINDOW], axis=-1)
+    gy = jnp.sum(tx * tmp[:, GRAD_WINDOW:], axis=-1)
+    if not with_derivs:
+        return gx, gy, wpts, inb
+    # spatial derivatives of the interpolant via derivative taps — ONE extra
+    # matmul (tmpd) + row-dots, vs a forward-mode pass that materializes a
+    # [T, N, S] tangent tensor per patch
+    lyd = interp.cubic_taps_d(wpts[:, 1] - oy.astype(wpts.dtype), GRAD_WINDOW)
+    lxd = interp.cubic_taps_d(wpts[:, 0] - ox.astype(wpts.dtype), GRAD_WINDOW)
+    tmpd = jnp.einsum("nh,hm->nm", lyd, win_hm, preferred_element_type=jnp.float32)
+    gx_x = jnp.sum(lxd * tmp[:, :GRAD_WINDOW], axis=-1)
+    gy_x = jnp.sum(lxd * tmp[:, GRAD_WINDOW:], axis=-1)
+    gx_y = jnp.sum(tx * tmpd[:, :GRAD_WINDOW], axis=-1)
+    gy_y = jnp.sum(tx * tmpd[:, GRAD_WINDOW:], axis=-1)
+    return gx, gy, wpts, inb, (gx_x, gy_x, gx_y, gy_y)
+
+
 def alignment_residual(params5, data):
     """Residual vector [(S²)] for one patch.
 
-    params5 = [se2(4), flow(1)]; data = (norm_int [(S²)], grad [H, W, 2],
+    params5 = [se2(4), flow(1)]; data = (norm_int [(S²)], grad2 [2, H, W],
     center [2]).
     """
     norm_int, grad, center = data
     se2 = params5[0:4]
     flow = params5[4]
-    h, w = grad.shape[0], grad.shape[1]
-    pts = _patch_abs_coords(center)
-    wpts = lie.se2_apply(se2, pts)  # warped into keyframe coords
-    inb = (
-        (wpts[:, 0] >= 0.0) & (wpts[:, 0] < w)
-        & (wpts[:, 1] >= 0.0) & (wpts[:, 1] < h)
-    )
-    gx = interp.bicubic(grad[:, :, 0], wpts[:, 1], wpts[:, 0])
-    gy = interp.bicubic(grad[:, :, 1], wpts[:, 1], wpts[:, 0])
+    gx, gy, wpts, inb = _sample_grad_pair(grad, se2, center)
     pred = gx * jnp.cos(flow) + gy * jnp.sin(flow)
     pred = jnp.where(inb, pred, 0.0)
     norm_pred = jnp.sqrt(1e-5 + jnp.sum(pred * pred))
@@ -123,6 +175,46 @@ def alignment_residual(params5, data):
 def _retract5(x, d):
     """SE2 right-plus on the warp + additive flow angle (tangent dim 4)."""
     return jnp.concatenate([lie.se2_retract(x[0:4], d[0:3]), x[4:5] + d[3:4]])
+
+
+def alignment_linearize(params5, data):
+    """Analytic (r [(S²)], J [(S²), 4]) of `alignment_residual` at d = 0 of
+    `_retract5` — exactly what autodiff computes, for ~5x less device work:
+    forward-mode through the sampling matmuls materializes a
+    [tangents, points, window] tensor per patch per LM iteration (HBM-bound);
+    here the Jacobian needs one derivative-tap matmul plus [points, 4]-sized
+    chain-rule arithmetic. The geometry tangents d(W·exp(δ)·a)/dδ still come
+    from `jax.jacfwd`, but only through the cheap 2D point warp.
+    """
+    norm_int, grad2, center = data
+    se2 = params5[0:4]
+    flow = params5[4]
+    gx, gy, wpts, inb, (gx_x, gy_x, gx_y, gy_y) = _sample_grad_pair(
+        grad2, se2, center, with_derivs=True
+    )
+    cosf, sinf = jnp.cos(flow), jnp.sin(flow)
+    pred = jnp.where(inb, gx * cosf + gy * sinf, 0.0)
+    dpdx = gx_x * cosf + gy_x * sinf
+    dpdy = gx_y * cosf + gy_y * sinf
+
+    # tangents of the warped points under the SE(2) retraction (cheap: only
+    # the 2D point map, no image sampling inside)
+    pts = _patch_abs_coords(center)
+    dw = jax.jacfwd(
+        lambda d3: lie.se2_apply(lie.se2_retract(se2, d3), pts)
+    )(jnp.zeros(3, pts.dtype))  # [(S²), 2, 3]
+    j_se2 = dpdx[:, None] * dw[:, 0, :] + dpdy[:, None] * dw[:, 1, :]
+    j_flow = (-gx * sinf + gy * cosf)[:, None]
+    jp = jnp.where(
+        inb[:, None], jnp.concatenate([j_se2, j_flow], axis=-1), 0.0
+    )  # [(S²), 4]
+
+    s2 = 1e-5 + jnp.sum(pred * pred)
+    s = jnp.sqrt(s2)
+    r = jnp.where(inb, pred / s + norm_int, 0.0)
+    # d(pred/s)/dδ = J/s − pred · (predᵀ J) / s³
+    j = jp / s - pred[:, None] * (pred @ jp)[None, :] / (s2 * s)
+    return r, j
 
 
 def _solve_one(params5, data):
@@ -136,6 +228,7 @@ def _solve_one(params5, data):
         block_size=ps.PATCH_SIDE * ps.PATCH_SIDE,
         huber_delta=HUBER,
         init_lambda=1e-4,
+        linearize_fn=alignment_linearize,
         # trust region: a single LM step may move the patch by at most half
         # its extent, so the solver cannot teleport the patch out of the
         # image (where all residuals are zeroed => spurious global optimum)
@@ -148,8 +241,8 @@ def update_num_of_events(table: ps.PatchTable, grad, lost_border: int = 5):
     """Batched `FeatureDetector::updateNumOfEvents`
     (feature_detector.cpp:666-712): border-lost check, then event budget
     from the warped flow-projected gradient L1 norm (×0.6), clamped.
-    `grad` [H, W, 2] is the *latest* detection frame's gradient pair."""
-    h, w = grad.shape[0], grad.shape[1]
+    `grad` [2, H, W] is the *latest* detection frame's gradient pair."""
+    h, w = grad.shape[1], grad.shape[2]
     cx, cy = table.center[:, 0], table.center[:, 1]
     border_lost = (
         (cx <= lost_border) | (cy <= lost_border)
@@ -162,10 +255,7 @@ def update_num_of_events(table: ps.PatchTable, grad, lost_border: int = 5):
     )
 
     def budget_one(se2, flow, center):
-        pts = _patch_abs_coords(center)
-        wpts = lie.se2_apply(se2, pts)
-        gx = interp.bicubic(grad[:, :, 0], wpts[:, 1], wpts[:, 0])
-        gy = interp.bicubic(grad[:, :, 1], wpts[:, 1], wpts[:, 0])
+        gx, gy, _, _ = _sample_grad_pair(grad, se2, center)
         return jnp.sum(jnp.abs(0.6 * (gx * jnp.cos(flow) + gy * jnp.sin(flow))))
 
     raw = jax.vmap(budget_one)(table.warp, table.flow, table.center)
@@ -184,7 +274,7 @@ def update_num_of_events(table: ps.PatchTable, grad, lost_border: int = 5):
 @jax.jit
 def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
     """Run the alignment solve for every ready patch and apply the
-    reference's post-solve updates. `grads` [SLOTS, H, W, 2] is the
+    reference's post-solve updates. `grads` [SLOTS, 2, H, W] is the
     gradient-frame store; each patch samples its own birth-frame slot.
 
     Returns (new_table, info dict with per-patch cost / ran mask / lost).
@@ -195,12 +285,22 @@ def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
     frob = jnp.sqrt(jnp.sum(integrated**2, axis=(1, 2))) + 1e-12
     norm_int = (integrated / frob[:, None, None]).reshape(table.capacity, -1)
 
-    grad_per_patch = grads[table.grad_slot]  # [P, H, W, 2]
     params0 = jnp.concatenate([table.warp, table.flow[:, None]], axis=-1)
 
-    new_params, cost = jax.vmap(_solve_one)(
-        params0, (norm_int, grad_per_patch, table.center)
-    )
+    # skip the whole solve batch (and the [P, 2, H, W] gradient gather) when
+    # no patch is ready — the common case between bursts; the reference's
+    # per-event walk pays nothing when `isReady` is false (updatePatches,
+    # feature_detector.cpp:611-616)
+    def _run(_):
+        grad_per_patch = grads[table.grad_slot]  # [P, 2, H, W]
+        return jax.vmap(_solve_one)(
+            params0, (norm_int, grad_per_patch, table.center)
+        )
+
+    def _skip(_):
+        return params0, jnp.zeros(table.capacity, params0.dtype)
+
+    new_params, cost = jax.lax.cond(jnp.any(ready), _run, _skip, None)
 
     mid_t, oldest_t = batch_timestamps(table)
 
@@ -250,7 +350,7 @@ def process_window_scan(table: ps.PatchTable, grads: jax.Array,
     round trip per sub-batch, which dominates on remote-attached TPUs).
 
     ex, ey, et, ep: [K, C] sub-batched events; mask [K, C] validity;
-    latest_grad [H, W, 2] = newest detection frame's gradients (budget
+    latest_grad [2, H, W] = newest detection frame's gradients (budget
     update input). Returns (table', stacked per-step info dict with
     ran/cost/lost [K, P] and center [K, P, 2]).
     """
@@ -259,7 +359,16 @@ def process_window_scan(table: ps.PatchTable, grads: jax.Array,
         bx, by, bt, bp_, bm = inp
         tbl = ps.route_events(tbl, bx, by, bt, bp_, bm)
         tbl, info = optimize_ready_patches(tbl, grads)
-        tbl = update_num_of_events(tbl, latest_grad)
+        # budget update only after solves actually ran (the reference calls
+        # updateNumOfEvents right after each optimize, updatePatches:611-616;
+        # patches cannot move — and so cannot newly cross the border — when
+        # nothing was optimized)
+        tbl = jax.lax.cond(
+            jnp.any(info["ran"]),
+            lambda t: update_num_of_events(t, latest_grad),
+            lambda t: t,
+            tbl,
+        )
         out = dict(ran=info["ran"], cost=info["cost"], lost=info["lost"],
                    center=tbl.center, cur_t=tbl.cur_t,
                    alive=tbl.alive, track_id=tbl.track_id)
@@ -275,10 +384,7 @@ def predicted_nabla(table: ps.PatchTable, grads: jax.Array):
     grad_per_patch = grads[table.grad_slot]
 
     def one(se2, flow, center, grad):
-        pts = _patch_abs_coords(center)
-        wpts = lie.se2_apply(se2, pts)
-        gx = interp.bicubic(grad[:, :, 0], wpts[:, 1], wpts[:, 0])
-        gy = interp.bicubic(grad[:, :, 1], wpts[:, 1], wpts[:, 0])
+        gx, gy, _, _ = _sample_grad_pair(grad, se2, center)
         out = -(gx * jnp.cos(flow) + gy * jnp.sin(flow))
         return out.reshape(ps.PATCH_SIDE, ps.PATCH_SIDE)
 

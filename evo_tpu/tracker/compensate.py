@@ -55,6 +55,7 @@ class CompensateParams:
     min_events: int = 100
     max_iters: int = 50
     events_per_tile_cap: int = 4096
+    loss: str = "edge"  # 'edge' | 'variance' (contrast_functor.h:101-277)
 
 
 def _gauss_kernel2d(sigma, radius, dtype=jnp.float32):
@@ -112,11 +113,27 @@ def tile_edge_loss(img):
     return jnp.sum(jnp.maximum(nms, 0.0))
 
 
-def tile_residual(vel, data, tile: int, scale: float):
+def tile_variance_loss(img):
+    """Variance score of the positive pixels of a padded tile image — the
+    reference's alternative contrast objective (`calculateVarianceLoss`,
+    contrast_functor.h:101-150; present but not wired to the solve there,
+    kept here for the same capability surface). Returns the variance
+    Σ(v−mean)²/count over pixels > 0, with the counter seeded at 1 like the
+    reference's `counterNonZero = 1`."""
+    pos = img > 0.0
+    cnt = jnp.sum(pos) + 1.0
+    mean = jnp.sum(jnp.where(pos, img, 0.0)) / cnt
+    var = jnp.sum(jnp.where(pos, (img - mean) ** 2, 0.0)) / cnt
+    return jnp.where(mean > 0.0, var, 0.0)
+
+
+def tile_residual(vel, data, tile: int, scale: float, loss: str = "edge"):
     """Scalar contrast residual of one tile (`contrastFunctor::operator()`).
 
     vel [2]; data = (ex, ey, dt_us, valid, tl_x, tl_y, active) with per-tile
     padded event arrays [E]; dt_us = t_mid − t_event in µs.
+    loss: 'edge' (calculateEdgeLoss, the one the reference calls) or
+    'variance' (calculateVarianceLoss).
     """
     ex, ey, dt_us, valid, tlx, tly, active = data
     shift = dt_us * scale  # µs·(1e-3) → effective ms units
@@ -132,8 +149,13 @@ def tile_residual(vel, data, tile: int, scale: float):
         chunk=min(1024, ex.shape[0]),
     )
     escaped = jnp.mean(img) <= 1e-4
-    edge = tile_edge_loss(img)
-    r_normal = MAX_RES - edge / MAX_RES
+    if loss == "edge":
+        score = tile_edge_loss(img) / MAX_RES
+    elif loss == "variance":
+        score = tile_variance_loss(img)
+    else:
+        raise ValueError(loss)
+    r_normal = MAX_RES - score
     r_escape = MAX_RES * (1.0 + vel[0] * vel[0] + vel[1] * vel[1])
     r = jnp.where(escaped, r_escape, r_normal)
     return jnp.where(active, r, 0.0)
@@ -147,7 +169,7 @@ def _edges(ty: int, tx: int):
     return np.concatenate([h, v], axis=0)  # [E, 2]
 
 
-@partial(jax.jit, static_argnames=("tile", "scale", "tv_weight", "tv_huber", "max_iters"))
+@partial(jax.jit, static_argnames=("tile", "scale", "tv_weight", "tv_huber", "max_iters", "loss"))
 def solve_motion_field(
     tile_data,
     edge_idx,
@@ -157,6 +179,7 @@ def solve_motion_field(
     tv_weight: float,
     tv_huber: float,
     max_iters: int,
+    loss: str = "edge",
 ):
     """Block-structured LM over per-tile velocities [T, 2].
 
@@ -164,7 +187,7 @@ def solve_motion_field(
     edge_idx: [E, 2] int32 neighbor pairs.
     """
     T = tile_data[0].shape[0]
-    res_fn = partial(tile_residual, tile=tile, scale=scale)
+    res_fn = partial(tile_residual, tile=tile, scale=scale, loss=loss)
 
     def tiles_r_J(v):
         def one(vi, di):
@@ -283,7 +306,7 @@ def compensate_window(
     vel, cost, cost0 = solve_motion_field(
         tile_data, edge_idx,
         tile=p.tile, scale=p.scale, tv_weight=p.tv_weight,
-        tv_huber=p.tv_huber, max_iters=p.max_iters,
+        tv_huber=p.tv_huber, max_iters=p.max_iters, loss=p.loss,
     )
 
     # final image: nearest splat of counts at compensated positions

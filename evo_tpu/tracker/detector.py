@@ -73,11 +73,13 @@ class TrackerParams:
 
 @partial(jax.jit, static_argnames=())
 def _compute_grads(image):
-    """Log-image + Sobel/8 gradient pair [H, W, 2]
-    (feature_detector.cpp:714-732)."""
+    """Log-image + Sobel/8 gradient pair, channel-major [2, H, W]
+    (feature_detector.cpp:714-732). Channel-major keeps H/W in the TPU
+    sublane/lane dims (a trailing 2 would waste 126/128 of every register
+    in the alignment sampler)."""
     logim = gradients.log_image(image)
     gx, gy = gradients.sobel(logim, scale=1.0 / 8.0)
-    return jnp.stack([gx, gy], axis=-1)
+    return jnp.stack([gx, gy], axis=0)
 
 
 @jax.jit
@@ -147,7 +149,7 @@ class EventTracker:
         self.height = height
         self.width = width
         self.table = ps.empty_table()
-        self.grads = jnp.zeros((ps.GRAD_SLOTS, height, width, 2), jnp.float32)
+        self.grads = jnp.zeros((ps.GRAD_SLOTS, 2, height, width), jnp.float32)
         self.slot_refcount = np.zeros(ps.GRAD_SLOTS, np.int64)
         self.next_track_id = 0
         self.epoch_us: int | None = None

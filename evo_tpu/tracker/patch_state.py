@@ -119,29 +119,33 @@ def route_events(table: PatchTable, ex, ey, et, ep, ev_mask) -> PatchTable:
     # ring positions: for each patch, k-th hit goes to (count + rank) % E
     rank = jnp.cumsum(hit, axis=1) - 1  # [P, N] rank among this patch's hits
     pos = (table.ev_count[:, None] + rank) % e
-    # scatter per patch: build updates with segment-style one-hot matmul-free
-    # approach — use .at[] scatter along flattened (patch, pos)
+    # ONE scatter of event *indices* into the ring (later writes win, which
+    # is exactly the ring semantics), then per-field gathers of [P, E] —
+    # 4 large [P·N] scatters would be ~4x the serialized scatter work on TPU
     flat_idx = (jnp.arange(p)[:, None] * e + pos).astype(jnp.int32)  # [P, N]
-    valid = hit
-    # use a large OOB index for non-hits (dropped by mode="drop")
+    # large OOB index for non-hits (dropped by mode="drop")
     oob = p * e
-    tgt = jnp.where(valid, flat_idx, oob).ravel()
+    tgt = jnp.where(hit, flat_idx, oob).ravel()
+    src = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], (p, n)
+    ).ravel()
+    ring_new = (
+        jnp.full(p * e, -1, jnp.int32).at[tgt].set(src, mode="drop")
+    )  # [P·E] index into this batch, or -1 = keep old value
+    fresh = ring_new >= 0
+    take = jnp.where(fresh, ring_new, 0)
 
-    def scat(buf, val):
-        flat = buf.ravel()
-        flat = flat.at[tgt].set(
-            jnp.broadcast_to(val[None, :], (p, n)).ravel(), mode="drop"
-        )
-        return flat.reshape(p, e)
+    def merge(buf, val):
+        return jnp.where(fresh, val[take], buf.ravel()).reshape(p, e)
 
     new_count = table.ev_count + jnp.sum(hit, axis=1).astype(jnp.int32)
     new_counter = table.counter + jnp.sum(hit, axis=1).astype(jnp.int32)
     return dataclasses.replace(
         table,
-        ev_t=scat(table.ev_t, et),
-        ev_x=scat(table.ev_x, ex),
-        ev_y=scat(table.ev_y, ey),
-        ev_p=scat(table.ev_p, ep),
+        ev_t=merge(table.ev_t, et),
+        ev_x=merge(table.ev_x, ex),
+        ev_y=merge(table.ev_y, ey),
+        ev_p=merge(table.ev_p, ep),
         ev_count=new_count,
         counter=new_counter,
     )

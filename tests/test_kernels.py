@@ -94,6 +94,29 @@ class TestInterp:
         # d/dx of (y*x) at y=7.5 is 7.5
         np.testing.assert_allclose(float(g[0]), 7.5, atol=0.1)
 
+    def test_bicubic_mxu_matches_gather_interior(self, rng):
+        """The MXU tap-matrix bicubic must agree with the gather bicubic for
+        every interior point (same Catmull-Rom kernel, different schedule)."""
+        img = jnp.asarray(rng.standard_normal((32, 32)), jnp.float32)
+        ys = jnp.asarray(rng.uniform(2, 29, 64), jnp.float32)
+        xs = jnp.asarray(rng.uniform(2, 29, 64), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(interp.bicubic_mxu(img, ys, xs)),
+            np.asarray(interp.bicubic(img, ys, xs)),
+            atol=1e-4,
+        )
+        # multi-channel variant
+        img2 = jnp.stack([img, 2.0 * img], axis=-1)
+        out2 = np.asarray(interp.bicubic_mxu(img2, ys, xs))
+        np.testing.assert_allclose(out2[:, 1], 2.0 * out2[:, 0], atol=1e-4)
+
+    def test_bicubic_mxu_gradients(self):
+        img = jnp.asarray(np.outer(np.arange(16.0), np.arange(16.0)), jnp.float32)
+        g = jax.grad(lambda x: interp.bicubic_mxu(img, jnp.array([7.5]), x)[0])(
+            jnp.array([7.5])
+        )
+        np.testing.assert_allclose(float(g[0]), 7.5, atol=0.1)
+
 
 class TestWarp:
     def test_identity_warp_recovers_patch(self, rng):

@@ -110,7 +110,7 @@ def _smooth_grad_field(rng, h=180, w=240):
     img = rng.standard_normal((h, w)).astype(np.float32)
     img = np.asarray(gradients.gaussian_blur(jnp.asarray(img), 3.0, radius=6)) * 20.0
     gx, gy = gradients.sobel(jnp.asarray(img), scale=1.0 / 8.0)
-    return jnp.stack([gx, gy], axis=-1)
+    return jnp.stack([gx, gy], axis=0)
 
 
 class TestAlignment:
@@ -144,6 +144,29 @@ class TestAlignment:
         assert abs(float(x[4]) - 0.7) < 0.5
         assert float(cost) < 0.05
 
+    def test_analytic_linearization_matches_autodiff(self, rng):
+        """alignment_linearize must produce the same (r, J) as forward-mode
+        autodiff through alignment_residual (it replaces it in the hot LM
+        loop purely for speed)."""
+        grad = _smooth_grad_field(rng)
+        center = jnp.array([120.0, 90.0], jnp.float32)
+        params = jnp.concatenate(
+            [lie.se2_exp(jnp.array([0.8, -0.5, 0.1])), jnp.asarray([0.6])]
+        ).astype(jnp.float32)
+        norm_int = jnp.asarray(
+            rng.standard_normal(ps.PATCH_SIDE**2), jnp.float32
+        )
+        data = (norm_int, grad, center)
+        r_a, j_a = align.alignment_linearize(params, data)
+        f = lambda d: align.alignment_residual(align._retract5(params, d), data)
+        zero = jnp.zeros(4, jnp.float32)
+        r_ad = f(zero)
+        j_ad = jax.jacfwd(f)(zero)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_ad), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(j_a), np.asarray(j_ad), atol=2e-4, rtol=1e-3
+        )
+
     def test_integration_matches_oracle(self):
         table = empty_with_patches(centers=[(50.0, 40.0)])
         ex = jnp.array([50.0, 50.0, 45.0, 62.0, 63.0], jnp.float32)  # 63 outside
@@ -175,10 +198,10 @@ class TestAlignment:
                 gradients.sobel(
                     gradients.log_image(jnp.asarray(frame)), scale=1.0 / 8.0
                 ),
-                axis=-1,
+                axis=0,
             )
         )
-        grads = jnp.zeros((ps.GRAD_SLOTS, h, w, 2), jnp.float32).at[0].set(
+        grads = jnp.zeros((ps.GRAD_SLOTS, 2, h, w), jnp.float32).at[0].set(
             jnp.asarray(grad)
         )
 
@@ -291,3 +314,38 @@ class TestCompensate:
             )
         )
         assert img.max() > naive.max() * 1.3  # mass concentrates on lines
+
+    def test_variance_loss_prefers_sharp(self, rng):
+        """calculateVarianceLoss parity (contrast_functor.h:101-150): a sharp
+        (concentrated) splat has higher positive-pixel variance than a
+        smeared one, and the residual reflects that."""
+        tile = 20
+        img_sharp = jnp.zeros((3 * tile, 3 * tile)).at[30, 30].set(10.0)
+        img_smear = jnp.full((3 * tile, 3 * tile), 10.0 / (3 * tile) ** 2)
+        v_sharp = float(compensate.tile_variance_loss(img_sharp))
+        v_smear = float(compensate.tile_variance_loss(img_smear))
+        assert v_sharp > v_smear
+        # zero image → mean not > 0 → variance score 0
+        assert float(compensate.tile_variance_loss(jnp.zeros((60, 60)))) == 0.0
+
+    def test_variance_loss_recovers_velocity(self, rng):
+        """The full solve also converges under loss='variance'."""
+        h = w = 60
+        p = compensate.CompensateParams(
+            max_iters=25, events_per_tile_cap=512, loss="variance"
+        )
+        vel_true = 50.0
+        n = 3000
+        t_us = np.sort(rng.uniform(0, 100_000, n)).astype(np.int64)
+        t_s = t_us * 1e-6
+        base_x = rng.choice(np.arange(5, 55, 10), n)
+        ex = np.clip(base_x + vel_true * t_s + rng.normal(0, 0.3, n), 0, w - 1)
+        ey = rng.uniform(0, h - 1, n)
+        field, img, cost, cost0 = compensate.compensate_window(
+            ex.astype(np.float64), ey, t_us, p, height=h, width=w
+        )
+        assert cost < cost0
+        active = np.abs(field).sum(-1) > 0
+        assert active.any()
+        rec = np.median(field[..., 0][active])
+        assert rec == pytest.approx(0.05, abs=0.02)
