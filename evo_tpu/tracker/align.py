@@ -298,7 +298,9 @@ def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
         )
 
     def _skip(_):
-        return params0, jnp.zeros(table.capacity, params0.dtype)
+        # derive the zero cost from params0 so its varying-manual-axes type
+        # matches the solve branch under shard_map
+        return params0, params0[:, 0] * 0.0
 
     new_params, cost = jax.lax.cond(jnp.any(ready), _run, _skip, None)
 

@@ -66,6 +66,17 @@ def _gauss_kernel2d(sigma, radius, dtype=jnp.float32):
     return g
 
 
+def _band_blur_matrix(size: int, sigma: float, radius: int, dtype=jnp.float32):
+    """[size, size] banded Toeplitz matrix of a truncated 1-D Gaussian:
+    (B @ a) blurs axis 0 with zero boundary handling."""
+    i = jnp.arange(size, dtype=dtype)
+    d = i[:, None] - i[None, :]
+    g = jnp.exp(-0.5 * (d / sigma) ** 2) * (
+        1.0 / jnp.sqrt(2.0 * jnp.pi * sigma * sigma)
+    )
+    return jnp.where(jnp.abs(d) <= radius, g, 0.0)
+
+
 def tile_edge_loss(img):
     """The edge score Σ NMS(λ₁(ST)) of a padded tile image
     (`calculateEdgeLoss`, contrast_functor.h:166-277). img [3H, 3W]."""
@@ -79,20 +90,17 @@ def tile_edge_loss(img):
     gy = gy.at[: h3 - 1, : w3 - 1].set(
         img[1:h3, : w3 - 1] - img[: h3 - 1, : w3 - 1]
     )
-    # Gaussian-weighted structure tensor (separable conv, zero padding ==
-    # the reference's bounds-masked accumulation since grads are 0 outside)
-    g1 = _gauss_kernel2d(SIGMA_ST, K_ST, img.dtype)
+    # Gaussian-weighted structure tensor. The separable blur runs as two
+    # banded-Toeplitz matmuls B @ a @ Bᵀ instead of conv_general_dilated:
+    # a single-channel conv pads its channel dims onto the MXU's 128 lanes
+    # (~128x wasted work for C=1), while [S, S] matmuls batch perfectly over
+    # the vmapped tiles. Zero padding == the reference's bounds-masked
+    # accumulation since grads are 0 outside.
+    by = _band_blur_matrix(h3, SIGMA_ST, K_ST, img.dtype)
+    bx = _band_blur_matrix(w3, SIGMA_ST, K_ST, img.dtype)
 
     def blur(a):
-        a = jax.lax.conv_general_dilated(
-            a[None, None], (g1[None, :])[None, None], (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
-        a = jax.lax.conv_general_dilated(
-            a[None, None], (g1[:, None])[None, None], (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
-        return a
+        return (by @ a @ bx.T).astype(img.dtype)
 
     sxx = blur(gx * gx)
     sxy = blur(gx * gy)
@@ -286,7 +294,13 @@ def compensate_window(
     order = np.argsort(tid, kind="stable")
     counts = np.bincount(tid, minlength=T)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    E = p.events_per_tile_cap
+    # per-tile padded capacity: the smallest power-of-two bucket that holds
+    # the fullest tile (few distinct buckets → few recompiles), capped at
+    # events_per_tile_cap. A fixed 4096 cap would make every tile pay ~30x
+    # the splat FLOPs of its actual occupancy (~140 events/tile for a 15k
+    # window on the 12x9 grid).
+    need = int(counts.max()) if n else 1
+    E = min(p.events_per_tile_cap, max(256, 1 << (need - 1).bit_length()))
     gather = np.zeros((T, E), np.int64)
     valid = np.zeros((T, E), bool)
     for t in range(T):

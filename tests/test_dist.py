@@ -150,7 +150,7 @@ class TestShardedPatchSolve:
             centers=[(40.0 + 16 * i, 60.0) for i in range(8)]
         )
         table = tt.route_uniform(table, 120)
-        grads = jnp.zeros((ps.GRAD_SLOTS, 180, 240, 2), jnp.float32)
+        grads = jnp.zeros((ps.GRAD_SLOTS, 2, 180, 240), jnp.float32)
 
         ref_table, ref_info = align.optimize_ready_patches(table, grads)
 

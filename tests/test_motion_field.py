@@ -112,9 +112,9 @@ class TestCostMap:
         frame = np.asarray(gradients.gaussian_blur(jnp.asarray(frame), 0.7, radius=2))
         grad = jnp.stack(
             gradients.sobel(gradients.log_image(jnp.asarray(frame)), scale=1 / 8),
-            axis=-1,
+            axis=0,
         )
-        grads = jnp.zeros((ps.GRAD_SLOTS, h, w, 2), jnp.float32).at[0].set(grad)
+        grads = jnp.zeros((ps.GRAD_SLOTS, 2, h, w), jnp.float32).at[0].set(grad)
         table = tt.empty_with_patches(centers=[(90.0, 80.0)])
         table = dataclasses.replace(
             table, flow=jnp.zeros(ps.MAX_PATCHES),
