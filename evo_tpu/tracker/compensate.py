@@ -303,10 +303,11 @@ def compensate_window(
     E = min(p.events_per_tile_cap, max(256, 1 << (need - 1).bit_length()))
     gather = np.zeros((T, E), np.int64)
     valid = np.zeros((T, E), bool)
-    for t in range(T):
-        c = min(int(counts[t]), E)
-        gather[t, :c] = order[starts[t] : starts[t] + c]
-        valid[t, :c] = True
+    tid_sorted = tid[order]
+    pos_in_tile = np.arange(n) - starts[tid_sorted]
+    keep = pos_in_tile < E
+    gather[tid_sorted[keep], pos_in_tile[keep]] = order[keep]
+    valid[tid_sorted[keep], pos_in_tile[keep]] = True
 
     ex = jnp.asarray(x[gather], jnp.float32)
     ey = jnp.asarray(y[gather], jnp.float32)
@@ -324,18 +325,36 @@ def compensate_window(
     )
 
     # final image: nearest splat of counts at compensated positions
-    # (feature_detector.cpp:433-463 — note: value 1 per event, not polarity)
-    vel_np = np.asarray(vel).reshape(ty_n, tx_n, 2)
-    vx = vel_np[tiy, tix, 0]
-    vy = vel_np[tiy, tix, 1]
-    shift = (t_mid - t_us).astype(np.float64) * p.scale
-    cx = np.round(x + shift * vx)
-    cy = np.round(y + shift * vy)
-    img = _count_splat(
-        jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
-        height, width,
+    # (feature_detector.cpp:433-463 — note: value 1 per event, not polarity).
+    # Everything is fetched in ONE device→host transfer: each pull through a
+    # remote-attached TPU tunnel costs ~45 ms of round-trip latency, so four
+    # separate np.asarray/float() pulls would dominate the whole window.
+    img = _compensated_count_splat(
+        vel, jnp.asarray(tiy * tx_n + tix, jnp.int32),
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray((t_mid - t_us).astype(np.float32)),
+        p.scale, height, width,
     )
-    return vel_np, np.asarray(img), float(cost), float(cost0)
+    packed = np.asarray(
+        jnp.concatenate([
+            vel.ravel(), img.ravel(),
+            cost[None].astype(jnp.float32), cost0[None].astype(jnp.float32),
+        ])
+    )
+    vel_np = packed[: 2 * T].reshape(ty_n, tx_n, 2)
+    img_np = packed[2 * T : 2 * T + height * width].reshape(height, width)
+    return vel_np, img_np, float(packed[-2]), float(packed[-1])
+
+
+@partial(jax.jit, static_argnames=("scale", "height", "width"))
+def _compensated_count_splat(vel, tile_id, x, y, dt_us, scale, height, width):
+    """Nearest count splat of all events shifted by their tile's velocity —
+    device-side so the motion field never needs a host round trip."""
+    v = vel[tile_id]  # [N, 2]
+    shift = dt_us * scale
+    cx = jnp.round(x + shift * v[:, 0])
+    cy = jnp.round(y + shift * v[:, 1])
+    return _count_splat(cx, cy, height, width)
 
 
 @partial(jax.jit, static_argnames=("height", "width"))

@@ -26,6 +26,7 @@ the policy's data-dependent sizes never trigger unbounded recompiles.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 
@@ -56,6 +57,13 @@ class VoParams:
     huber_loss: float = 0.8
     num_bootstrap_hypotheses: int = 256
     num_localize_hypotheses: int = 128
+    # "cpu": run the VO geometry (RANSAC, triangulation, BA, Sim3) on the
+    # host CPU jax backend. These solves are tiny (≤20 poses, hundreds of
+    # landmarks) and dispatch-latency-bound: on a remote-attached TPU every
+    # call pays a ~45 ms tunnel round trip, so the policy loop would spend
+    # its time in transit, not math. The throughput kernels (splat, patch
+    # alignment, contrast-max) stay on the TPU. "default": session device.
+    geometry_backend: str = "cpu"
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -71,11 +79,38 @@ def _pad2(arr: np.ndarray, size: int) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+@jax.jit
+def _unproject_jit(intr, pix):
+    return camera.unproject(intr, pix)
+
+
+@jax.jit
+def _triangulate_pix(intr, p1, p2, pose_w_1, pose_w_2):
+    """Unproject two padded pixel sets and midpoint-triangulate them into the
+    world frame in a single device call (visual_odometry.cpp:343-377)."""
+    f1 = camera.unproject(intr, p1)
+    f2 = camera.unproject(intr, p2)
+    p_w, _ = triangulate.triangulate_landmarks(f1, f2, pose_w_1, pose_w_2)
+    return p_w
+
+
+@jax.jit
+def _sim3_mul_se3_batch(sim_inv, gs):
+    return jax.vmap(lie.sim3_mul_se3, in_axes=(None, 0))(sim_inv, gs)
+
+
 class VisualOdometryFrontEnd:
     def __init__(self, calib, params: VoParams | None = None, seed: int = 0):
         self.params = params or VoParams()
         self.calib = calib
-        self.intr = jnp.asarray(calib.to_array())
+        self._geom_device = None
+        if self.params.geometry_backend == "cpu":
+            try:
+                self._geom_device = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                self._geom_device = None
+        with self._on_geom_device():
+            self.intr = jnp.asarray(calib.to_array())
         self.active_frames: dict[int, Keyframe] = {}  # t_us -> Keyframe
         self.stored_frames: list[Keyframe] = []
         self.map = MapLandmarks()
@@ -87,9 +122,17 @@ class VisualOdometryFrontEnd:
         self.gt_aligned: list[np.ndarray] = []
         self.zero_gt: np.ndarray | None = None
         self.last_ate: ErrorMetric | None = None
-        self._key = jax.random.PRNGKey(seed)
+        with self._on_geom_device():
+            self._key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
+    def _on_geom_device(self):
+        """Context routing the frontend's small-geometry jax calls to the
+        host CPU backend (see VoParams.geometry_backend)."""
+        if self._geom_device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._geom_device)
+
     def set_ground_truth(self, t_us: np.ndarray, poses: np.ndarray) -> None:
         self.gt_t_us = t_us
         self.gt_poses = poses
@@ -99,10 +142,14 @@ class VisualOdometryFrontEnd:
         return k
 
     def _unproject(self, pix: np.ndarray) -> np.ndarray:
-        return np.asarray(camera.unproject(self.intr, jnp.asarray(pix, jnp.float32)))
+        return np.asarray(_unproject_jit(self.intr, jnp.asarray(pix, jnp.float32)))
 
     # -- policy ---------------------------------------------------------
     def new_keyframe_candidate(self, keyframe: Keyframe) -> bool:
+        with self._on_geom_device():
+            return self._new_keyframe_candidate(keyframe)
+
+    def _new_keyframe_candidate(self, keyframe: Keyframe) -> bool:
         match = Match()
         if not self._is_new_keyframe_needed(keyframe, match):
             self.without_add += 1
@@ -131,10 +178,12 @@ class VisualOdometryFrontEnd:
             sim, ate = align_trajectories_sim3(self.gt_list, poses)
             self.last_ate = ate
             sim_inv = lie.sim3_inverse(jnp.asarray(sim, jnp.float32))
-            self.gt_aligned = [
-                np.asarray(lie.sim3_mul_se3(sim_inv, jnp.asarray(g, jnp.float32)))
-                for g in self.gt_list
-            ]
+            n = len(self.gt_list)
+            gs = np.zeros((_bucket(n), 7), np.float32)
+            gs[:, 0] = 1.0  # identity-pose padding keeps the math NaN-free
+            gs[:n] = self.gt_list
+            aligned = np.asarray(_sim3_mul_se3_batch(sim_inv, jnp.asarray(gs)))[:n]
+            self.gt_aligned = list(aligned.astype(np.float64))
             _log.info(
                 "ATE rmse=%.4f mean=%.4f max=%.4f min=%.4f",
                 ate.rmse, ate.mean, ate.max, ate.min,
@@ -249,24 +298,35 @@ class VisualOdometryFrontEnd:
 
     def _add_new_landmarks(self, keyframe: Keyframe, match: Match) -> None:
         """Observations for inliers; triangulate on the 2nd observation
-        (visual_odometry.cpp:343-377)."""
+        (visual_odometry.cpp:343-377). All of a keyframe's new landmarks
+        sharing the same first-observation keyframe triangulate in ONE
+        padded batch (one device call instead of 3 per track)."""
+        pending: dict[int, list[int]] = {}
         for track in match.inliers:
             self.map.observations.setdefault(track, []).append(keyframe.t_us)
             obs = self.map.observations[track]
-            if len(obs) == 2:
-                k1 = self.active_frames.get(obs[0])
-                k2 = self.active_frames.get(obs[1])
-                if k1 is None or k2 is None:
-                    continue
-                f1 = self._unproject(k1.landmarks[track][None])[0]
-                f2 = self._unproject(k2.landmarks[track][None])[0]
-                p_w, _ = triangulate.triangulate_landmarks(
-                    jnp.asarray(f1, jnp.float32)[None],
-                    jnp.asarray(f2, jnp.float32)[None],
+            if len(obs) == 2 and obs[0] in self.active_frames:
+                if obs[1] in self.active_frames and track in keyframe.landmarks:
+                    pending.setdefault(obs[0], []).append(track)
+        for t1, tracks in pending.items():
+            k1 = self.active_frames[t1]
+            tracks = [t for t in tracks if t in k1.landmarks]
+            if not tracks:
+                continue
+            n = len(tracks)
+            b = _bucket(n)
+            p1 = np.stack([k1.landmarks[t] for t in tracks])
+            p2 = np.stack([keyframe.landmarks[t] for t in tracks])
+            p_w = np.asarray(
+                _triangulate_pix(
+                    self.intr, _pad2(p1, b), _pad2(p2, b),
                     jnp.asarray(k1.pose, jnp.float32),
-                    jnp.asarray(k2.pose, jnp.float32),
-                )
-                self.map.landmarks[track] = np.asarray(p_w[0], np.float64)
+                    jnp.asarray(keyframe.pose, jnp.float32),
+                ),
+                np.float64,
+            )
+            for i, t in enumerate(tracks):
+                self.map.landmarks[t] = p_w[i]
 
     def _delete_landmarks(self, keyframe: Keyframe) -> None:
         for track in keyframe.landmarks:
