@@ -82,24 +82,27 @@ def refine_relative_pose(pose_1_2, f1, f2, weights, num_iters: int = 10):
     from evo_tpu.solve.lm import lm_solve
 
     pose_2_1 = lie.se3_inverse(pose_1_2)
-
-    def retract(x, d):
-        x2 = lie.se3_retract(x, d)
-        t = x2[4:7]
-        n = jnp.linalg.norm(t)
-        t = jnp.where(n > 1e-9, t / jnp.maximum(n, 1e-9), t)
-        return jnp.concatenate([x2[0:4], t])
-
-    def res_fn(x, data):
-        ff1, ff2, w = data
-        E = essential_from_rt(x[0:4], x[4:7])
-        return epipolar_residual(E, ff1, ff2) * w
-
     out = lm_solve(
-        res_fn, pose_2_1, (f1, f2, weights),
-        retract=retract, tangent_dim=6, num_iters=num_iters,
+        _epipolar_res_fn, pose_2_1, (f1, f2, weights),
+        retract=_unit_translation_retract, tangent_dim=6, num_iters=num_iters,
     )
     return lie.se3_inverse(out.x)
+
+
+# module-level (not per-call closures): `lm_solve` hashes its static
+# residual_fn/retract, so fresh closures would retrace on every call
+def _unit_translation_retract(x, d):
+    x2 = lie.se3_retract(x, d)
+    t = x2[4:7]
+    n = jnp.linalg.norm(t)
+    t = jnp.where(n > 1e-9, t / jnp.maximum(n, 1e-9), t)
+    return jnp.concatenate([x2[0:4], t])
+
+
+def _epipolar_res_fn(x, data):
+    ff1, ff2, w = data
+    E = essential_from_rt(x[0:4], x[4:7])
+    return epipolar_residual(E, ff1, ff2) * w
 
 
 def decompose_candidates(E):

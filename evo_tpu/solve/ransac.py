@@ -194,6 +194,13 @@ def absolute_pose_ransac(
     return res.model, res
 
 
+def _abs_pose_res_fn(pose, data):
+    # module-level (not a per-call closure): `lm_solve` hashes its static
+    # residual_fn, so a fresh closure would force a retrace on every call
+    b, p, w = data
+    return p3p.reprojection_angle_residual(pose, b, p) * w
+
+
 def refine_absolute_pose(pose_w_c, bearings, points, inliers, num_iters: int = 10):
     """Nonlinear refinement of an absolute pose on its inlier set (the
     reference's `optimize_nonlinear` step, visual_odometry.cpp:261-262),
@@ -201,14 +208,8 @@ def refine_absolute_pose(pose_w_c, bearings, points, inliers, num_iters: int = 1
     from evo_tpu.solve.lm import lm_solve
 
     w = inliers.astype(bearings.dtype)
-
-    def res_fn(pose, data):
-        b, p, w = data
-        r = p3p.reprojection_angle_residual(pose, b, p)
-        return r * w
-
     out = lm_solve(
-        res_fn,
+        _abs_pose_res_fn,
         pose_w_c,
         (bearings, points, w),
         retract=lie.se3_retract,
