@@ -2,14 +2,19 @@
 
 Two facades over a `Davis240cDataset`:
 
-1. `Replayer` — a timestamp-ordered two-stream merge with subscriber
+1. `Replayer` — a timestamp-ordered three-stream merge with subscriber
    callbacks, capability-equivalent to the reference's replayer
    (`tools/replayer/include/replayer/replayer.h:25-93`,
-   `src/replayer.cpp:56-128`): events and images are emitted one at a time in
-   global timestamp order (event wins ties, like the `<=` comparison at
-   `replayer.cpp:74`), with `next()` / `next_interval(µs)` / `next_image()` /
-   `finished()` / `reset()` stepping modes. Kept for deterministic parity
-   testing and interactive stepping; the TPU pipeline itself uses:
+   `src/replayer.cpp:56-128`): events, images and ground-truth samples are
+   emitted one at a time in global timestamp order (image wins event/image
+   ties, matching the strict `<` at `replayer.cpp:72`; GT wins all ties —
+   the pose annotation "at" an instant precedes the data of that instant),
+   with `next()` / `next_interval(µs)` / `next_image()` / `finished()` /
+   `reset()` stepping modes. The reference registers GT callbacks
+   (`replayer.cpp:130-135`, `replayer.h:34`) but never notifies them from
+   `next()`; here the registered callbacks actually receive the merged GT
+   stream. Kept for deterministic parity testing and interactive stepping;
+   the TPU pipeline itself uses:
 
 2. `FrameWindowIterator` — the bulk-synchronous TPU-native replacement: for
    each camera frame k it yields *all* events in [t_{k-1}, t_k) as one padded
@@ -30,16 +35,18 @@ from evo_tpu.io.davis import Davis240cDataset, EventArrays
 
 EventCallback = Callable[[int, int, int, int], None]  # (t_us, x, y, p)
 ImageCallback = Callable[[int, np.ndarray], None]  # (t_us, image)
+GroundTruthCallback = Callable[[int, np.ndarray], None]  # (t_us, pose7)
 
 
 class Replayer:
-    """Timestamp-ordered merge of the event and image streams with pub-sub
-    callbacks (reference parity: `replayer.cpp:56-128`)."""
+    """Timestamp-ordered merge of the event, image and ground-truth streams
+    with pub-sub callbacks (reference parity: `replayer.cpp:56-135`)."""
 
     def __init__(self, dataset: Davis240cDataset):
         self.dataset = dataset
         self._event_callbacks: list[EventCallback] = []
         self._image_callbacks: list[ImageCallback] = []
+        self._gt_callbacks: list[GroundTruthCallback] = []
         self.reset()
 
     def add_event_callback(self, cb: EventCallback) -> None:
@@ -48,18 +55,30 @@ class Replayer:
     def add_image_callback(self, cb: ImageCallback) -> None:
         self._image_callbacks.append(cb)
 
+    def add_ground_truth_callback(self, cb: GroundTruthCallback) -> None:
+        """Reference `Replayer::addGroundTruthCallback` (replayer.cpp:130-135).
+        Poses are delivered as (t_us, pose7) with the core (qw,qx,qy,qz,t)
+        layout, merged in timestamp order with the other two streams."""
+        self._gt_callbacks.append(cb)
+
+    def get_ground_truth(self):
+        """(t_us [G], poses [G, 7]) — `Replayer::getGroundTruth`
+        (replayer.h:51)."""
+        return self.dataset.gt_t_us, self.dataset.gt_poses
+
     def reset(self) -> None:
         self._ei = 0  # next event index
         self._ii = 0  # next image index
+        self._gi = 0  # next ground-truth index
 
     def finished(self) -> bool:
-        # Like the reference (replayer.cpp:42-45): done when either stream
-        # is exhausted.
+        # Like the reference (replayer.cpp:42-45): done when the event or
+        # image stream is exhausted (GT exhaustion does not end the replay).
         ev_done = self._ei >= len(self.dataset.events)
         im_done = self._ii >= self.dataset.num_images
         return ev_done or im_done
 
-    def _head_times(self) -> tuple[int, int]:
+    def _head_times(self) -> tuple[int | None, int | None, int | None]:
         ev = self.dataset.events
         t_ev = int(ev.t_us[self._ei]) if self._ei < len(ev) else None
         t_im = (
@@ -67,14 +86,28 @@ class Replayer:
             if self._ii < self.dataset.num_images
             else None
         )
-        return t_ev, t_im
+        t_gt = (
+            int(self.dataset.gt_t_us[self._gi])
+            if self._gt_callbacks and self._gi < len(self.dataset.gt_t_us)
+            else None
+        )
+        return t_ev, t_im, t_gt
 
     def next(self) -> int | None:
         """Emit the single earliest sample; returns its timestamp (µs)."""
-        t_ev, t_im = self._head_times()
-        if t_ev is None and t_im is None:
+        t_ev, t_im, t_gt = self._head_times()
+        heads = [t for t in (t_ev, t_im, t_gt) if t is not None]
+        if not heads:
             return None
-        if t_im is None or (t_ev is not None and t_ev <= t_im):
+        # GT wins all ties; between event and image, image wins the tie
+        # (the strict `<` at replayer.cpp:72).
+        if t_gt is not None and t_gt <= min(heads):
+            pose = self.dataset.gt_poses[self._gi]
+            for cb in self._gt_callbacks:
+                cb(t_gt, pose)
+            self._gi += 1
+            return t_gt
+        if t_im is None or (t_ev is not None and t_ev < t_im):
             ev = self.dataset.events
             i = self._ei
             for cb in self._event_callbacks:
@@ -90,14 +123,12 @@ class Replayer:
     def next_interval(self, interval_us: int) -> None:
         """Emit all samples within the next `interval_us` of stream time
         (replayer.cpp:106-118)."""
-        t_ev, t_im = self._head_times()
-        heads = [t for t in (t_ev, t_im) if t is not None]
+        heads = [t for t in self._head_times() if t is not None]
         if not heads:
             return
         t_end = min(heads) + interval_us
         while not self.finished():
-            t_ev, t_im = self._head_times()
-            heads = [t for t in (t_ev, t_im) if t is not None]
+            heads = [t for t in self._head_times() if t is not None]
             if not heads or min(heads) >= t_end:
                 break
             self.next()

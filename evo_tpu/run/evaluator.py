@@ -111,8 +111,9 @@ class Evaluator:
             self._run_compensation()
 
     def _run_compensation(self) -> None:
-        ev = np.concatenate(self._buf, axis=0)[: self.params.compensation_events]
-        rest = np.concatenate(self._buf, axis=0)[self.params.compensation_events:]
+        buf = self._buf[0] if len(self._buf) == 1 else np.concatenate(self._buf, axis=0)
+        ev = buf[: self.params.compensation_events]
+        rest = buf[self.params.compensation_events:]
         self._buf = [rest] if len(rest) else []
         self._buf_count = len(rest)
         self._last_compensation_us = int(ev[-1, 0])

@@ -151,6 +151,10 @@ class EventTracker:
         self.table = ps.empty_table()
         self.grads = jnp.zeros((ps.GRAD_SLOTS, 2, height, width), jnp.float32)
         self.slot_refcount = np.zeros(ps.GRAD_SLOTS, np.int64)
+        # detection-frame number each slot's gradients were written at
+        # (-1 = never); drives oldest-first eviction and the newest-slot lookup
+        self.slot_birth = np.full(ps.GRAD_SLOTS, -1, np.int64)
+        self._newest_slot = 0
         self.next_track_id = 0
         self.epoch_us: int | None = None
         self.prev_image: jnp.ndarray | None = None
@@ -189,6 +193,28 @@ class EventTracker:
         mirror = ps.host_mirror(self.table)
         alive = mirror["alive"]
         centers = mirror["center"]
+
+        # allocate a gradient slot for this frame. When every slot still
+        # holds the birth-frame gradients of live patches (possible on long
+        # sequences: one slot per detection frame with survivors), reclaim
+        # the slot with the OLDEST detection frame and mark its patches lost
+        # — they are archived like any other lost patch instead of silently
+        # tracking against a corrupted gradient image. Eviction happens
+        # before association so the evicted patches' corners re-enter as
+        # fresh tracks this same frame.
+        free_slots = np.flatnonzero(self.slot_refcount == 0)
+        if len(free_slots):
+            slot = int(free_slots[0])
+        else:
+            slot = int(np.argmin(self.slot_birth))
+            evict = alive & (mirror["grad_slot"] == slot)
+            self.table = dataclasses.replace(
+                self.table, alive=self.table.alive & ~jnp.asarray(evict)
+            )
+            self._archive_dead()  # decrements this slot's refcount to 0
+            alive = alive & ~evict  # evicted rows are now free for reuse
+        self.slot_birth[slot] = self.num_images
+        self._newest_slot = slot
         n_live = int(alive.sum())
 
         # greedy association (feature_detector.cpp:630-664): each existing
@@ -201,10 +227,6 @@ class EventTracker:
                 if not claimed[j] and d[j] < p.association_distance:
                     claimed[j] = True
                     break
-
-        # allocate a gradient slot for this frame
-        free_slots = np.flatnonzero(self.slot_refcount == 0)
-        slot = int(free_slots[0]) if len(free_slots) else int(np.argmin(self.slot_refcount))
 
         # place unmatched corners into free table slots, respecting the cap
         new_mask = np.zeros(ps.MAX_PATCHES, bool)
@@ -383,11 +405,11 @@ class EventTracker:
         self._archive_dead()
 
     def _latest_slot(self) -> int:
-        mirror = ps.host_mirror(self.table)
-        alive = mirror["alive"]
-        if alive.any():
-            return int(mirror["grad_slot"][np.flatnonzero(alive)[-1]])
-        return 0
+        """Slot of the most recent detection frame's gradients (the budget
+        update samples the newest frame, feature_detector.cpp:666-712).
+        Tracked explicitly at allocation time — row index in the table is
+        NOT birth order, so inferring it from the table would be stale."""
+        return self._newest_slot
 
     def _log_solves(self, info) -> None:
         ran = np.asarray(info["ran"])

@@ -105,6 +105,39 @@ def test_dataset_and_replayer_ordering(tiny_dataset):
     assert log == expect
 
 
+def test_replayer_three_stream_merge(tiny_dataset):
+    """Recorder-fake interleaving with all 3 streams registered
+    (replayer_test.cpp:46-125 pattern extended per the reference's GT
+    callback API, replayer.cpp:130-135): GT samples merge in timestamp
+    order and win ties; image wins event/image ties (replayer.cpp:72)."""
+    ds = davis.Davis240cDataset(tiny_dataset)
+    r = replay.Replayer(ds)
+    log = []
+    r.add_event_callback(lambda t, x, y, p: log.append(("e", t)))
+    r.add_image_callback(lambda t, img: log.append(("i", t)))
+    poses = []
+    r.add_ground_truth_callback(lambda t, pose: (log.append(("g", t)), poses.append(pose)))
+    while not r.finished():
+        r.next()
+    expect = [
+        ("g", 0), ("e", 1), ("e", 2), ("i", 5000), ("e", 10000),
+        ("e", 20000), ("i", 25000), ("e", 30000), ("e", 45000),
+    ]
+    assert log == expect
+    np.testing.assert_allclose(poses[0], [1, 0, 0, 0, 1.0, 2.0, 3.0])
+    # getGroundTruth accessor (replayer.h:51)
+    t_gt, p_gt = r.get_ground_truth()
+    assert len(t_gt) == 2 and p_gt.shape == (2, 7)
+    # without a registered GT callback the merge is the 2-stream one
+    r2 = replay.Replayer(ds)
+    log2 = []
+    r2.add_event_callback(lambda t, x, y, p: log2.append(("e", t)))
+    r2.add_image_callback(lambda t, img: log2.append(("i", t)))
+    while not r2.finished():
+        r2.next()
+    assert log2 == [x for x in expect if x[0] != "g"]
+
+
 def test_replayer_next_image(tiny_dataset):
     ds = davis.Davis240cDataset(tiny_dataset)
     r = replay.Replayer(ds)
@@ -121,6 +154,63 @@ def test_replayer_next_image(tiny_dataset):
         ("e", 1), ("e", 2), ("i", 5000), ("e", 10000),
         ("e", 20000), ("i", 25000), ("e", 30000),
     ]
+
+
+REF_FIXTURES = "/root/reference/tools/dataset_reader/test/test_data"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_FIXTURES), reason="reference fixtures not available"
+)
+def test_reference_fixture_parity():
+    """Ingest the reference's committed test fixtures VERBATIM and assert
+    the same literal expectations as `davis240c_reader_test.cpp:19-124` —
+    byte-level format parity with the C++ reader."""
+    ds = davis.Davis240cDataset(REF_FIXTURES)
+
+    # eventsTest (:19-48)
+    np.testing.assert_array_equal(ds.events.t_us, [0, 11, 50, 55, 80])
+    np.testing.assert_array_equal(ds.events.x, [33, 158, 88, 174, 112])
+    np.testing.assert_array_equal(ds.events.y, [39, 145, 143, 154, 139])
+    np.testing.assert_array_equal(ds.events.p, [1, 1, -1, -1, 1])
+
+    # imagesTest (:50-72): timestamps + pixel-exact frames
+    np.testing.assert_array_equal(ds.image_t_us, [28046, 72111, 116176])
+    from PIL import Image
+
+    for i in range(3):
+        raw = np.asarray(
+            Image.open(
+                os.path.join(REF_FIXTURES, "images", f"frame_{i:08d}.png")
+            ).convert("L"),
+            np.float32,
+        ) / 255.0
+        np.testing.assert_array_equal(ds.image(i), raw)
+
+    # groundTruthTest (:74-107): quaternion -> rotation matrices
+    np.testing.assert_array_equal(ds.gt_t_us, [72111, 116176])
+    from evo_tpu.core import lie
+    import jax.numpy as jnp
+
+    r0 = np.asarray(lie.quat_to_matrix(jnp.asarray(ds.gt_poses[0, :4])))
+    r1 = np.asarray(lie.quat_to_matrix(jnp.asarray(ds.gt_poses[1, :4])))
+    np.testing.assert_allclose(r0, [[1, 0, 0], [0, 0, -1], [0, 1, 0]], atol=1e-6)
+    np.testing.assert_allclose(r1, [[0, 0, 1], [0, 1, 0], [-1, 0, 0]], atol=1e-6)
+    np.testing.assert_allclose(ds.gt_poses[0, 4:], [1, 0, 0])
+    np.testing.assert_allclose(ds.gt_poses[1, 4:], [0, 0, 1])
+
+    # calibrationTest (:109-124)
+    c = ds.calib
+    for got, want in [
+        (c.fx, 501), (c.fy, 499), (c.cx, 249), (c.cy, 251),
+        (c.k1, 0.11), (c.k2, 0.011), (c.p1, 0.0011), (c.p2, 0.123),
+        (c.k3, 0.321),
+    ]:
+        assert got == pytest.approx(want)
+
+    # native parser agrees with the numpy path on the reference fixture
+    ev_np = davis._parse_events_numpy(os.path.join(REF_FIXTURES, "events.txt"))
+    np.testing.assert_array_equal(ev_np.t_us, ds.events.t_us)
 
 
 def test_frame_windows(tiny_dataset):

@@ -264,6 +264,42 @@ class TestDetector:
         assert ids1 == ids2
         assert tr.num_live == n1
 
+    def test_grad_slot_exhaustion_evicts_oldest(self):
+        """Long-sequence safety (>GRAD_SLOTS detection frames with live
+        survivors): when every gradient slot is still referenced by live
+        patches, the oldest detection frame's slot is reclaimed and its
+        patches archived — never silently overwritten under them."""
+        tr = detector.EventTracker()
+        tr.new_image(0, self._squares_frame())
+        ids1 = set(
+            np.asarray(tr.table.track_id)[np.asarray(tr.table.alive)].tolist()
+        )
+        assert tr.slot_refcount[0] == len(ids1)
+        # simulate a long survivor-bearing history: every other slot busy,
+        # all newer than slot 0 (allocated at frame 0 above)
+        tr.slot_refcount[1:] = 1
+        tr.slot_birth[1:] = np.arange(1, ps.GRAD_SLOTS)
+        tr.new_image(50_000, self._squares_frame())
+        # slot 0 was the oldest -> reclaimed; its patches archived intact
+        assert tr.archived_tracks == ids1
+        assert tr._latest_slot() == 0
+        # the re-detected corners are fresh tracks owning slot 0
+        live_slots = np.asarray(tr.table.grad_slot)[np.asarray(tr.table.alive)]
+        assert (live_slots == 0).all()
+        assert tr.slot_refcount[0] == tr.num_live > 0
+        live_ids = set(
+            np.asarray(tr.table.track_id)[np.asarray(tr.table.alive)].tolist()
+        )
+        assert live_ids.isdisjoint(ids1)
+
+    def test_latest_slot_tracks_newest_detection_frame(self):
+        tr = detector.EventTracker()
+        tr.new_image(0, self._squares_frame())
+        s0 = tr._latest_slot()
+        tr.new_image(50_000, np.roll(self._squares_frame(), 3, axis=1))
+        assert tr._latest_slot() != s0
+        assert tr.slot_birth[tr._latest_slot()] == 1
+
     def test_klt_initializes_flow(self):
         tr = detector.EventTracker()
         f0 = self._squares_frame()
