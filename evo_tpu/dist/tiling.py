@@ -15,7 +15,7 @@ The sharded counterparts of the single-chip kernels:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -66,3 +66,190 @@ def space_shard_tiles(mesh, tile_field):
     """Place a [TY, TX, ...] per-tile field with TX sharded over ``space``."""
     spec = P(None, SPACE_AXIS)
     return jax.device_put(tile_field, NamedSharding(mesh, spec))
+
+
+def sharded_tile_solve_data(
+    mesh,
+    tile_data,
+    *,
+    ty: int,
+    tx: int,
+    tile: int,
+    scale: float,
+    tv_weight: float,
+    tv_huber: float,
+    max_iters: int,
+    loss: str = "edge",
+):
+    """Space-sharded contrast-max motion-field solve.
+
+    The distributed counterpart of `compensate.solve_motion_field`
+    (reference `feature_detector.cpp:298-464`): the tile grid's columns are
+    sharded over the ``space`` mesh axis, so each device runs the expensive
+    per-tile work (Gaussian splat + structure-tensor edge loss + `jacfwd`
+    Jacobian) only for its own tile columns. The TV coupling across a shard
+    boundary (`feature_detector.cpp:369-396`) reads the right neighbor's
+    first velocity column via `halo.exchange_halo` (ppermute over ICI). The
+    damped normal system is tiny (2T x 2T, T = ty*tx = 108 on DAVIS240C), so
+    each device scatters its local contributions at *global* tile indices,
+    a single `psum` replicates the full (A, b), and every device solves the
+    identical system — the update is exact, not block-Jacobi, and matches
+    the 1-device solve up to summation order.
+
+    tile_data: the per-tile pytree from `compensate.compensate_window`,
+    leading dim T = ty*tx, row-major (tid = tiy*tx + tix); tx must be
+    divisible by the mesh's space-axis size.
+
+    Returns (vel [T, 2] replicated, cost, cost0).
+    """
+    n_space = mesh.shape[SPACE_AXIS]
+    if tx % n_space:
+        raise ValueError(f"tx={tx} not divisible by space axis {n_space}")
+    # reshape [T, ...] -> [ty, tx, ...] so axis 1 shards over space
+    grid_data = tuple(
+        a.reshape((ty, tx) + a.shape[1:]) for a in tile_data
+    )
+    run = _build_tile_solver(
+        mesh, ty, tx, tile, scale, tv_weight, tv_huber, max_iters, loss
+    )
+    v_grid, cost, cost0 = run(grid_data)
+    return v_grid.reshape(ty * tx, 2), cost, cost0
+
+
+@lru_cache(maxsize=None)
+def _build_tile_solver(mesh, ty, tx, tile, scale, tv_weight, tv_huber,
+                       max_iters, loss):
+    """Compile-once factory for the shard_map'ed tile solve (see
+    `sharded_tile_solve_data`); cached on the static config so repeated
+    windows reuse the executable."""
+    from evo_tpu.dist.halo import exchange_halo
+    from evo_tpu.solve.lm import huber_weights
+    from evo_tpu.tracker.compensate import tile_residual
+
+    n_space = mesh.shape[SPACE_AXIS]
+    txl = tx // n_space
+    T = ty * tx
+    res_fn = partial(tile_residual, tile=tile, scale=scale, loss=loss)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(tuple(P(None, SPACE_AXIS) for _ in range(7)),),
+        out_specs=(P(None, SPACE_AXIS), P(), P()),
+    )
+    def run(gdata):
+        dev = jax.lax.axis_index(SPACE_AXIS)
+        ldata = jax.tree.map(
+            lambda a: a.reshape((ty * txl,) + a.shape[2:]), gdata
+        )
+        # global flat tile ids of the local tiles, [ty*txl]
+        gi = jnp.arange(ty)[:, None] * tx + dev * txl + jnp.arange(txl)[None, :]
+        gid = gi.reshape(-1)
+
+        # owned TV edges at global ids (left/top endpoint owns the edge):
+        # vertical (i,j)-(i+1,j) all local cols; horizontal interior
+        # (i,j)-(i,j+1) for j < txl-1; boundary (i,txl-1)-(i, right nbr col 0)
+        v_edges_p = gi[:-1, :].reshape(-1)
+        v_edges_q = gi[1:, :].reshape(-1)
+        h_edges_p = gi[:, :-1].reshape(-1) if txl > 1 else jnp.zeros(0, gi.dtype)
+        h_edges_q = gi[:, 1:].reshape(-1) if txl > 1 else jnp.zeros(0, gi.dtype)
+        b_edges_p = gi[:, -1]
+        b_edges_q = jnp.minimum(gi[:, -1] + 1, T - 1)  # clipped; masked below
+        has_right = dev < n_space - 1
+        ep_all = jnp.concatenate([v_edges_p, h_edges_p, b_edges_p])
+        eq_all = jnp.concatenate([v_edges_q, h_edges_q, b_edges_q])
+        n_vh = v_edges_p.shape[0] + h_edges_p.shape[0]
+        edge_ok = jnp.concatenate(
+            [
+                jnp.ones(n_vh, bool),
+                jnp.full(ty, has_right),
+            ]
+        )
+
+        def edge_diffs(v_loc):
+            """Per-owned-edge velocity differences [E_own, 2]; the boundary
+            column's right neighbor comes from the halo exchange."""
+            vg = v_loc.reshape(ty, txl, 2)
+            _, from_right = exchange_halo(vg, SPACE_AXIS, width=1, axis=1)
+            dv = vg[:-1] - vg[1:]  # [ty-1, txl, 2]
+            dh = (
+                vg[:, :-1] - vg[:, 1:]
+                if txl > 1
+                else jnp.zeros((ty, 0, 2), v_loc.dtype)
+            )
+            db = vg[:, -1] - from_right[:, 0]  # [ty, 2]
+            d = jnp.concatenate(
+                [dv.reshape(-1, 2), dh.reshape(-1, 2), db.reshape(-1, 2)]
+            )
+            return jnp.where(edge_ok[:, None], d, 0.0)
+
+        def local_cost(v_loc):
+            r = jax.vmap(res_fn)(v_loc, ldata)
+            d = edge_diffs(v_loc)
+            s = jnp.sum((tv_weight * jnp.abs(d)) ** 2, axis=1)
+            n = jnp.sqrt(s + 1e-12)
+            rho = jnp.where(n <= tv_huber, s, 2.0 * tv_huber * n - tv_huber**2)
+            return jnp.sum(r * r) + jnp.sum(jnp.where(edge_ok, rho, 0.0))
+
+        def global_cost(v_loc):
+            return jax.lax.psum(local_cost(v_loc), SPACE_AXIS)
+
+        def step(state, _):
+            v, lam, cost = state
+            r, J = jax.vmap(
+                lambda vi, di: (res_fn(vi, di), jax.jacfwd(res_fn)(vi, di))
+            )(v, ldata)
+            A = jnp.zeros((2 * T, 2 * T), v.dtype)
+            b = jnp.zeros(2 * T, v.dtype)
+            JJ = J[:, :, None] * J[:, None, :]  # [Tl, 2, 2]
+            rows = (2 * gid)[:, None, None] + jnp.arange(2)[None, :, None]
+            cols = (2 * gid)[:, None, None] + jnp.arange(2)[None, None, :]
+            A = A.at[rows, cols].add(JJ)
+            b = b.at[(2 * gid)[:, None] + jnp.arange(2)[None, :]].add(
+                J * r[:, None]
+            )
+            d = edge_diffs(v)
+            s = jnp.sum((tv_weight * jnp.abs(d)) ** 2, axis=1)
+            omega = huber_weights(s, tv_huber)
+            w2 = jnp.where(edge_ok, omega * tv_weight * tv_weight, 0.0)
+            p_, q_ = ep_all, eq_all
+            for c in range(2):
+                A = A.at[2 * p_ + c, 2 * p_ + c].add(w2)
+                A = A.at[2 * q_ + c, 2 * q_ + c].add(w2)
+                A = A.at[2 * p_ + c, 2 * q_ + c].add(-w2)
+                A = A.at[2 * q_ + c, 2 * p_ + c].add(-w2)
+                b = b.at[2 * p_ + c].add(w2 * d[:, c])
+                b = b.at[2 * q_ + c].add(-w2 * d[:, c])
+            A = jax.lax.psum(A, SPACE_AXIS)
+            b = jax.lax.psum(b, SPACE_AXIS)
+            diag = jnp.clip(jnp.diag(A), 1e-8, None)
+            A_d = A + lam * jnp.diag(diag)
+            L, low = jax.scipy.linalg.cho_factor(A_d, lower=True)
+            delta = -jax.scipy.linalg.cho_solve((L, low), b)
+            bad = ~jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(bad, 0.0, delta)
+            # each device takes its own columns of the global update
+            dg = delta.reshape(ty, tx, 2)
+            d_loc = jax.lax.dynamic_slice(
+                dg, (0, dev * txl, 0), (ty, txl, 2)
+            ).reshape(-1, 2)
+            v_new = v + d_loc
+            cost_new = global_cost(v_new)
+            accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+            v = jnp.where(accept, v_new, v)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+            cost = jnp.where(accept, cost_new, cost)
+            return (v, lam, cost), None
+
+        # derive the init from the sharded input so its varying-manual-axes
+        # type matches the body output (scan rejects an unvarying carry)
+        v0 = jnp.zeros((ty * txl, 2), jnp.float32) + 0.0 * ldata[0][0, 0]
+        cost0 = global_cost(v0)
+        (v, _, cost), _ = jax.lax.scan(
+            step, (v0, jnp.float32(1e-4), cost0), None, length=max_iters
+        )
+        # the sharded [ty, txl, 2] blocks concatenate into the full field
+        # through the out_spec (P(None, space))
+        return v.reshape(ty, txl, 2), cost, cost0
+
+    return jax.jit(run)

@@ -51,6 +51,11 @@ class EvaluatorParams:
     # "tracks": dense motion field from feature tracks with TV/harmonic
     # interpolation (the reference's compensateEvents path)
     compensation_mode: str = "contrast"
+    # distributed mode: a (space, batch) jax.sharding.Mesh. The patch table
+    # shards over all mesh axes (dist.tiling.sharded_patch_solve semantics)
+    # and the contrast-max tile solve shards tile columns over the space
+    # axis with TV halo coupling (dist.tiling.sharded_tile_solve_data).
+    mesh: object = None
     tracker: TrackerParams = dataclasses.field(default_factory=TrackerParams)
     vo: VoParams = dataclasses.field(default_factory=VoParams)
     compensate: comp.CompensateParams = dataclasses.field(
@@ -65,7 +70,7 @@ class Evaluator:
         h = dataset.calib.height if dataset.calib else 180
         w = dataset.calib.width if dataset.calib else 240
         self.height, self.width = h, w
-        self.tracker = EventTracker(self.params.tracker, h, w)
+        self.tracker = EventTracker(self.params.tracker, h, w, mesh=self.params.mesh)
         self.vo = (
             VisualOdometryFrontEnd(dataset.calib, self.params.vo)
             if dataset.calib is not None
@@ -135,7 +140,7 @@ class Evaluator:
         field, img, cost, cost0 = comp.compensate_window(
             ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
             ev[:, 0].astype(np.int64), self.params.compensate,
-            height=self.height, width=self.width,
+            height=self.height, width=self.width, mesh=self.params.mesh,
         )
         self.motion_field = field
         self.compensated_image = img

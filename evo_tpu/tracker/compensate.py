@@ -274,8 +274,15 @@ def compensate_window(
     params: CompensateParams | None = None,
     height: int = 180,
     width: int = 240,
+    mesh=None,
 ):
     """Full window compensation (host orchestration + jitted solve).
+
+    With `mesh` (a (space, batch) jax.sharding.Mesh), the tile solve runs
+    space-sharded via `dist.tiling.sharded_tile_solve_data` — tile columns
+    sharded over the space axis, TV coupling across shard boundaries by halo
+    exchange; the result matches the single-device solve up to summation
+    order.
 
     Returns (motion_field [TY, TX, 2], compensated_image [H, W] of counts,
     solve_cost, initial_cost).
@@ -318,11 +325,21 @@ def compensate_window(
     tile_data = (ex, ey, dt, jnp.asarray(valid), tlx, tly, active)
     edge_idx = jnp.asarray(_edges(ty_n, tx_n), jnp.int32)
 
-    vel, cost, cost0 = solve_motion_field(
-        tile_data, edge_idx,
-        tile=p.tile, scale=p.scale, tv_weight=p.tv_weight,
-        tv_huber=p.tv_huber, max_iters=p.max_iters, loss=p.loss,
-    )
+    if mesh is not None:
+        from evo_tpu.dist.tiling import sharded_tile_solve_data
+
+        vel, cost, cost0 = sharded_tile_solve_data(
+            mesh, tile_data,
+            ty=ty_n, tx=tx_n, tile=p.tile, scale=p.scale,
+            tv_weight=p.tv_weight, tv_huber=p.tv_huber,
+            max_iters=p.max_iters, loss=p.loss,
+        )
+    else:
+        vel, cost, cost0 = solve_motion_field(
+            tile_data, edge_idx,
+            tile=p.tile, scale=p.scale, tv_weight=p.tv_weight,
+            tv_huber=p.tv_huber, max_iters=p.max_iters, loss=p.loss,
+        )
 
     # final image: nearest splat of counts at compensated positions
     # (feature_detector.cpp:433-463 — note: value 1 per event, not polarity).

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -139,13 +139,36 @@ def _apply_flow_init(table: ps.PatchTable, flow_xy, status, h, w):
     )
 
 
+@lru_cache(maxsize=None)
+def _sharded_window_scan(mesh):
+    """Compile-once shard_map'ed window scan: the patch table's leading axis
+    is sharded over ALL mesh axes (patch solves are independent —
+    the reference runs them serially, feature_detector.cpp:585-619), events
+    and the gradient store are replicated. This is the distributed
+    production event path (SURVEY.md §2.3 item 1)."""
+    from jax.sharding import PartitionSpec as P
+
+    from evo_tpu.dist.mesh import BATCH_AXIS, SPACE_AXIS
+
+    axes = (SPACE_AXIS, BATCH_AXIS)
+    fn = jax.shard_map(
+        align.process_window_scan,
+        mesh=mesh,
+        in_specs=(P(axes), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axes), P(None, axes)),
+    )
+    return jax.jit(fn)
+
+
 class EventTracker:
     """The tracker frontend: owns the patch table, gradient-slot store,
-    track-id allocation and host-side artifact logs."""
+    track-id allocation and host-side artifact logs. With `mesh`, the
+    window scan runs with the patch table sharded over the device mesh."""
 
     def __init__(self, params: TrackerParams | None = None,
-                 height: int = 180, width: int = 240):
+                 height: int = 180, width: int = 240, mesh=None):
         self.params = params or TrackerParams()
+        self.mesh = mesh
         self.height = height
         self.width = width
         self.table = ps.empty_table()
@@ -348,7 +371,12 @@ class EventTracker:
             ep[i, :m] = pol[lo:hi]
             mask[i, :m] = True
         latest = self.grads[self._latest_slot()]
-        self.table, stacked = align.process_window_scan(
+        scan_fn = (
+            _sharded_window_scan(self.mesh)
+            if self.mesh is not None
+            else align.process_window_scan
+        )
+        self.table, stacked = scan_fn(
             self.table, self.grads,
             jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(et), jnp.asarray(ep),
             jnp.asarray(mask), latest,

@@ -14,6 +14,7 @@ from jax.sharding import PartitionSpec as P
 from evo_tpu.dist import halo, mesh, reduce, tiling
 from evo_tpu.kernels.splat import splat_image
 from evo_tpu.vo import ba
+from tests.test_run import square_dataset  # noqa: F401 (fixture)
 
 
 @pytest.fixture(scope="module")
@@ -105,6 +106,41 @@ class TestHalo:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+class TestShardedTileSolve:
+    def test_matches_single_device(self, mesh_space4, rng):
+        """Space-sharded contrast-max solve (tile columns over 4 devices,
+        TV halo coupling at shard boundaries) == the 1-device
+        solve_motion_field on the same window."""
+        from evo_tpu.tracker import compensate as comp
+
+        H, W, tile = 60, 80, 20  # 3x4 tile grid, txl=1 per device
+        p = comp.CompensateParams(
+            tile=tile, min_events=10, max_iters=6, events_per_tile_cap=512
+        )
+        # moving edge pattern: events drift with a common velocity so the
+        # contrast objective has signal in every tile
+        n = 4000
+        t = np.sort(rng.uniform(0, 30_000, n)).astype(np.int64)  # 30 ms
+        base_x = rng.uniform(2, W - 3, n)
+        base_y = rng.uniform(2, H - 3, n)
+        # quantize to lines to create structure
+        base_x = np.round(base_x / 6) * 6 + rng.normal(0, 0.2, n)
+        vx, vy = 0.08, -0.05  # px/ms
+        x = np.clip(base_x + vx * (t * 1e-3), 0, W - 1)
+        y = np.clip(base_y + vy * (t * 1e-3), 0, H - 1)
+
+        v_ref, img_ref, c_ref, c0_ref = comp.compensate_window(
+            x, y, t, p, height=H, width=W
+        )
+        v_sh, img_sh, c_sh, c0_sh = comp.compensate_window(
+            x, y, t, p, height=H, width=W, mesh=mesh_space4
+        )
+        assert np.isfinite(c_sh) and c_sh <= c0_sh + 1e-3
+        np.testing.assert_allclose(c0_sh, c0_ref, rtol=1e-5)
+        np.testing.assert_allclose(v_sh, v_ref, atol=5e-3)
+        np.testing.assert_allclose(img_sh, img_ref, atol=1e-3)
+
+
 class TestShardedBA:
     def test_normal_equations_match_psum(self, mesh8, rng):
         import tests.test_vo as tv
@@ -136,6 +172,53 @@ class TestShardedBA:
         np.testing.assert_allclose(np.asarray(Hll), np.asarray(rHll), rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(np.asarray(bp), np.asarray(rbp), rtol=1e-4, atol=1e-2)
         np.testing.assert_allclose(np.asarray(bl), np.asarray(rbl), rtol=1e-4, atol=1e-2)
+
+
+class TestDistributedPipeline:
+    def test_full_pipeline_matches_single_device(self, square_dataset, tmp_path):
+        """The production Evaluator pipeline (tracker window scan + contrast
+        compensation + VO) on a 4x2 mesh — patch table sharded over all 8
+        devices, tile columns space-sharded with TV halo coupling — produces
+        the same trajectory/vo artifacts as the unsharded run."""
+        from evo_tpu.io import davis
+        from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
+        from evo_tpu.tracker.compensate import CompensateParams
+
+        def run(out, m):
+            ds = davis.Davis240cDataset(square_dataset)
+            params = EvaluatorParams(
+                output_dir=str(out), mesh=m,
+                compensation_events=4000,
+                compensate=CompensateParams(max_iters=6, events_per_tile_cap=512),
+            )
+            ev = Evaluator(ds, params)
+            ev.run(max_frames=5)
+            paths = ev.finish()
+            return ev, paths
+
+        ref_dir = tmp_path / "ref"
+        sh_dir = tmp_path / "sh"
+        ref_dir.mkdir()
+        sh_dir.mkdir()
+        ev1, p1 = run(ref_dir, None)
+        m = mesh.make_mesh(n_space=4, n_batch=2)
+        ev2, p2 = run(sh_dir, m)
+
+        t1 = davis.parse_trajectory(p1["trajectory"])
+        t2 = davis.parse_trajectory(p2["trajectory"])
+        assert set(t1) == set(t2)
+        for tid in t1:
+            ts1, xy1 = t1[tid]
+            ts2, xy2 = t2[tid]
+            np.testing.assert_array_equal(ts1, ts2)
+            np.testing.assert_allclose(xy1, xy2, atol=0.1)
+        np.testing.assert_allclose(
+            ev2.motion_field, ev1.motion_field, atol=5e-3
+        )
+        if "vo_trajectory" in p1:
+            v1 = np.loadtxt(p1["vo_trajectory"])
+            v2 = np.loadtxt(p2["vo_trajectory"])
+            np.testing.assert_allclose(v2, v1, atol=5e-2)
 
 
 class TestShardedPatchSolve:
