@@ -30,6 +30,13 @@ def sharded_splat(mesh, x, y, weight, height: int, width: int, *,
     """Data-parallel event decode: shard the event stream, splat locally,
     `psum` the accumulators. x, y, weight: [N] with N divisible by the
     batch-axis size (pad with weight=0). Returns the replicated [H, W]."""
+    return _build_sharded_splat(mesh, height, width, mode, chunk)(x, y, weight)
+
+
+@lru_cache(maxsize=None)
+def _build_sharded_splat(mesh, height: int, width: int, mode: str, chunk: int):
+    """Compile-once factory for the sharded decode (re-tracing the shard_map
+    closure per call costs more than the decode itself on small windows)."""
 
     @partial(
         jax.shard_map,
@@ -41,7 +48,7 @@ def sharded_splat(mesh, x, y, weight, height: int, width: int, *,
         local = splat_image(xs, ys, ws, height, width, mode=mode, chunk=chunk)
         return jax.lax.psum(local, BATCH_AXIS)
 
-    return run(x, y, weight)
+    return jax.jit(run)
 
 
 def sharded_patch_solve(mesh, solve_fn, table_batch, grads):

@@ -174,6 +174,20 @@ class TestShardedBA:
         np.testing.assert_allclose(np.asarray(bl), np.asarray(rbl), rtol=1e-4, atol=1e-2)
 
 
+class TestScaling:
+    def test_sharded_decode_efficiency(self):
+        """Collective/shard overhead of the sharded decode on the CPU mesh:
+        sharding the same total work over 2 devices must not cost more than
+        20% vs the single-device run at equal physical resources (the
+        comm_efficiency view — raw weak scaling on a virtual mesh is bounded
+        by physical-core time-sharing, see multihost.measure_scaling)."""
+        from evo_tpu.dist.multihost import measure_scaling
+
+        res = measure_scaling(events_per_device=1 << 15, repeats=2)
+        assert set(res) >= {1, 2}
+        assert res[2]["comm_efficiency"] >= 0.8, res
+
+
 class TestDistributedPipeline:
     def test_full_pipeline_matches_single_device(self, square_dataset, tmp_path):
         """The production Evaluator pipeline (tracker window scan + contrast
