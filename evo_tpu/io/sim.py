@@ -43,6 +43,11 @@ class SimParams:
     plane_depth: float = 2.0  # plane z in the world frame
     texture_cells: int = 24  # checker-ish texture frequency
     seed: int = 0
+    # "plane": one fronto-parallel textured plane;
+    # "3walls": three orthogonal textured walls meeting in a corner — the
+    # framework's counterpart of the reference's `simulation_3walls` scene
+    # (report §4, Tables 1-2), giving VO real depth variation.
+    scene: str = "plane"
 
 
 def _default_calib(p: SimParams) -> CalibParams:
@@ -91,6 +96,48 @@ def render_frame(pose_w_c, intr, key, height: int, width: int,
     return img
 
 
+@partial(jax.jit, static_argnames=("height", "width", "cells"))
+def render_frame_3walls(pose_w_c, intr, key, height: int, width: int,
+                        plane_depth: float, cells: int):
+    """Render a corner of three orthogonal textured walls (the
+    `simulation_3walls` scene of the reference's report §4): back wall
+    z = D, right wall x = 0.4·D, floor y = 0.3·D (both inside the DAVIS
+    frustum at depth D, so the corner is visible), each with its own random
+    sinusoid texture; every ray takes the nearest positive intersection."""
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    pix = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
+    bear_c = camera.unproject(intr, pix)
+    R = lie.quat_to_matrix(pose_w_c[0:4])
+    o = pose_w_c[4:7]
+    d = bear_c @ R.T  # [N, 3] world rays
+
+    D = plane_depth
+    k_back, k_right, k_floor = jax.random.split(key, 3)
+    big = jnp.float32(1e9)
+
+    def plane_hit(axis: int, level: float, tex_key):
+        dn = d[:, axis]
+        t = (level - o[axis]) / jnp.where(jnp.abs(dn) < 1e-6, 1e-6, dn)
+        hit = o[None, :] + t[:, None] * d
+        u_ax, v_ax = [a for a in (0, 1, 2) if a != axis]
+        val = _texture(hit[:, u_ax], hit[:, v_ax], cells, tex_key)
+        t_ok = jnp.where(t > 1e-3, t, big)
+        return t_ok, val
+
+    t1, v1 = plane_hit(2, D, k_back)
+    t2, v2 = plane_hit(0, 0.4 * D, k_right)
+    t3, v3 = plane_hit(1, 0.3 * D, k_floor)
+    ts = jnp.stack([t1, t2, t3], axis=0)  # [3, N]
+    vals = jnp.stack([v1, v2, v3], axis=0)
+    idx = jnp.argmin(ts, axis=0)
+    t_min = jnp.min(ts, axis=0)
+    val = jnp.take_along_axis(vals, idx[None, :], axis=0)[0]
+    img = jnp.where(t_min < big, val, 0.0).reshape(height, width)
+    return img
+
+
 class EventCameraSimulator:
     def __init__(self, params: SimParams | None = None,
                  trajectory_fn=None, calib: CalibParams | None = None):
@@ -116,7 +163,10 @@ class EventCameraSimulator:
 
     def _render(self, t: float):
         pose = jnp.asarray(self.trajectory_fn(t), jnp.float32)
-        return render_frame(
+        renderer = (
+            render_frame_3walls if self.p.scene == "3walls" else render_frame
+        )
+        return renderer(
             pose, self.intr, self.key,
             self.p.height, self.p.width, self.p.plane_depth,
             self.p.texture_cells,

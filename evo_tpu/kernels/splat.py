@@ -130,6 +130,61 @@ def splat_image_scatter(x, y, weight, height: int, width: int, mode: str = "bili
     raise ValueError(mode)
 
 
+@partial(jax.jit, static_argnames=("height", "width", "mode", "sort"))
+def splat_image_segment(x, y, weight, height: int, width: int, *,
+                        mode: str = "bilinear", sort: bool = True):
+    """Scatter-formulation decode: per-event pixel ids + `segment_sum`
+    (optionally sorted so XLA sees monotonic segment ids) — the
+    sort-by-pixel alternative SURVEY.md §7 hard part 1 calls for. Kept as a
+    measured alternative to the separable-matmul splat: the matmul version
+    does H·W MACs per event (~10^4x the useful taps) but rides the MXU; this
+    one does exactly the useful taps but scatters. bench.py times both on
+    real hardware; see BENCH `decode_variants`."""
+    hw = height * width
+    if mode == "nearest":
+        xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, width - 1)
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, height - 1)
+        ok = (
+            (x >= -0.5) & (x <= width - 0.5) & (y >= -0.5) & (y <= height - 0.5)
+        )
+        pid = yi * width + xi
+        w = jnp.where(ok, weight, 0.0)
+        if sort:
+            order = jnp.argsort(pid)
+            pid, w = pid[order], w[order]
+        flat = jax.ops.segment_sum(
+            w, pid, num_segments=hw, indices_are_sorted=sort
+        )
+        return flat.reshape(height, width)
+    if mode == "bilinear":
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        pids = []
+        ws = []
+        for dy, wy in ((0, 1 - fy), (1, fy)):
+            for dx, wx in ((0, 1 - fx), (1, fx)):
+                xi = x0 + dx
+                yi = y0 + dy
+                ok = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+                pids.append(
+                    jnp.clip(yi, 0, height - 1) * width
+                    + jnp.clip(xi, 0, width - 1)
+                )
+                ws.append(jnp.where(ok, weight * wy * wx, 0.0))
+        pid = jnp.concatenate(pids)
+        w = jnp.concatenate(ws)
+        if sort:
+            order = jnp.argsort(pid)
+            pid, w = pid[order], w[order]
+        flat = jax.ops.segment_sum(
+            w, pid, num_segments=hw, indices_are_sorted=sort
+        )
+        return flat.reshape(height, width)
+    raise ValueError(mode)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "chunk"))
 def event_count_image(x, y, mask, height: int, width: int, chunk: int = 4096):
     """Unsigned per-pixel event counts (nearest assignment)."""

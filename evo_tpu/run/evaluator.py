@@ -56,6 +56,12 @@ class EvaluatorParams:
     # and the contrast-max tile solve shards tile columns over the space
     # axis with TV halo coupling (dist.tiling.sharded_tile_solve_data).
     mesh: object = None
+    # pipelined mode (standard experiment only): one synchronous device
+    # pull per frame window; the post-frame state, VO keyframe processing,
+    # and compensation readback are deferred one window so their transfers
+    # overlap the next window's compute. Artifacts are identical — VO and
+    # the compensated image are pure consumers of the tracker state.
+    pipelined: bool = True
     tracker: TrackerParams = dataclasses.field(default_factory=TrackerParams)
     vo: VoParams = dataclasses.field(default_factory=VoParams)
     compensate: comp.CompensateParams = dataclasses.field(
@@ -86,6 +92,10 @@ class Evaluator:
         self._last_compensation_us: int | None = None
         self.compensated_image: np.ndarray | None = None
         self.motion_field: np.ndarray | None = None
+        # pipelined-mode pending work: (frame_no, t_us, framelog handle) and
+        # deferred compensation handles
+        self._pending_frame: tuple[int, int, object] | None = None
+        self._pending_comp: list = []
         # VO-experiment replay store: t_us -> {track_id: (x, y)}
         self._stored_tracks: dict[int, dict[int, np.ndarray]] = {}
         if self.params.vo_experiment and dataset.trajectory:
@@ -115,7 +125,7 @@ class Evaluator:
         ):
             self._run_compensation()
 
-    def _run_compensation(self) -> None:
+    def _run_compensation(self, defer: bool = False) -> None:
         buf = self._buf[0] if len(self._buf) == 1 else np.concatenate(self._buf, axis=0)
         ev = buf[: self.params.compensation_events]
         rest = buf[self.params.compensation_events:]
@@ -137,11 +147,16 @@ class Evaluator:
             self.compensated_image = img
             _log.info("track-field compensated %d events", len(ev))
             return
-        field, img, cost, cost0 = comp.compensate_window(
+        out = comp.compensate_window(
             ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
             ev[:, 0].astype(np.int64), self.params.compensate,
             height=self.height, width=self.width, mesh=self.params.mesh,
+            defer=defer,
         )
+        if defer:
+            self._pending_comp.append(out)
+            return
+        field, img, cost, cost0 = out
         self.motion_field = field
         self.compensated_image = img
         _log.info(
@@ -168,11 +183,84 @@ class Evaluator:
             return dict(self._stored_tracks.get(int(t_us), {}))
         from evo_tpu.tracker import patch_state as ps
 
-        mirror = ps.host_mirror(self.tracker.table)
+        # new_image just ran for this frame; its mirror is current (no event
+        # processing can intervene between new_image and the keyframe build)
+        mirror = self.tracker.last_mirror
+        if mirror is None:
+            mirror = ps.host_mirror(self.tracker.table)
         return {
             int(mirror["track_id"][i]): mirror["center"][i].astype(np.float64)
             for i in np.flatnonzero(mirror["alive"])
         }
+
+    # -- pipelined drive ---------------------------------------------------
+    def _process_window_pipelined(self, win) -> None:
+        """One frame window with a single synchronous pull: scan + frame
+        analysis dispatched together; the post-frame state / VO keyframe /
+        compensation readback of the PREVIOUS window were flushed just
+        before, so their transfers overlapped this window's host+device
+        work."""
+        ev = win.events
+        self.flush_pending(comp=False)
+        self.counters.add("events", len(ev.t_us))
+        self.counters.add("frames")
+        n0 = len(self.tracker.final_cost_log)
+        with self.counters.timed("tracker_window"):
+            t_us, handle = self.tracker.process_frame_window(
+                ev.t_us, ev.x.astype(np.float64), ev.y.astype(np.float64),
+                ev.p.astype(np.float64), win.image_t_us, win.image,
+            )
+        self.counters.add("solves", len(self.tracker.final_cost_log) - n0)
+        self.image_num += 1
+        self._pending_frame = (self.image_num, t_us, handle)
+        # compensation: dispatch now, read back at the next flush
+        if self.params.run_compensation and len(ev.t_us):
+            if self._last_compensation_us is None:
+                self._last_compensation_us = int(ev.t_us[0])
+            self._buf.append(np.stack([
+                ev.t_us, ev.x.astype(np.float64), ev.y.astype(np.float64),
+                ev.p.astype(np.float64)], axis=-1))
+            self._buf_count += len(ev.t_us)
+            while self._buf_count and (
+                int(ev.t_us[-1]) - self._last_compensation_us
+                >= self.params.compensation_time_us
+                or self._buf_count >= self.params.compensation_events
+            ):
+                with self.counters.timed("compensation_dispatch"):
+                    self._run_compensation(defer=True)
+
+    def flush_pending(self, comp: bool = True) -> None:
+        """Consume deferred readbacks: previous frame's post-state (tracker
+        bookkeeping + VO keyframe) and — when `comp` — the newest pending
+        compensation result. During the pipelined drive, compensation
+        handles are NOT consumed per window (nothing downstream needs the
+        image; only the newest handle is kept live and materialized at
+        finish/checkpoint time), so the comp solve is pure overlapped device
+        work instead of a per-window stall."""
+        if comp and self._pending_comp:
+            with self.counters.timed("compensation_consume"):
+                field, img, cost, cost0 = self._pending_comp[-1].get()
+            self.motion_field = field
+            self.compensated_image = img
+            _log.info("compensated window (cost %.1f -> %.1f)", cost0, cost)
+            self._pending_comp = []
+        elif len(self._pending_comp) > 1:
+            self._pending_comp = self._pending_comp[-1:]
+        if self._pending_frame is not None:
+            frame_no, t_us, handle = self._pending_frame
+            self._pending_frame = None
+            with self.counters.timed("frame_consume"):
+                mirror = self.tracker.consume_frame(t_us, handle)
+            if frame_no > 2 and self.vo is not None:
+                lms = {
+                    int(mirror["track_id"][i]): mirror["center"][i].astype(np.float64)
+                    for i in np.flatnonzero(mirror["alive"])
+                }
+                if lms:
+                    with self.counters.timed("vo"):
+                        self.vo.new_keyframe_candidate(
+                            Keyframe(t_us=int(t_us), landmarks=lms)
+                        )
 
     # -- drive -----------------------------------------------------------
     def run(self, max_frames: int | None = None, start_frame: int = 0) -> None:
@@ -180,20 +268,31 @@ class Evaluator:
         frame-window (the bulk-synchronous equivalent of main.cpp:76-137).
         `start_frame` resumes mid-sequence (see run.checkpoint); the frame
         cursor is `self.image_num`."""
+        pipelined = (
+            self.params.pipelined
+            and not self.params.vo_experiment
+            and not self.params.tracker_experiment
+        )
         for win in FrameWindowIterator(self.dataset):
             if win.frame_idx < start_frame:
                 continue
             if max_frames is not None and win.frame_idx >= max_frames:
                 break
+            if pipelined:
+                self._process_window_pipelined(win)
+                continue
             ev = win.events
             self.process_events(
                 ev.t_us, ev.x.astype(np.float64), ev.y.astype(np.float64),
                 ev.p.astype(np.float64),
             )
             self.process_image(win.image_t_us, win.image)
+        if pipelined:
+            self.flush_pending()
 
     def finish(self) -> dict[str, str]:
         """Write all artifacts; returns {name: path}."""
+        self.flush_pending()
         out = {}
         out["trajectory"] = artifacts.save_features_trajectory(
             self.params.output_dir, self.tracker.trajectories

@@ -31,19 +31,30 @@ class TrackerQuality:
     per_track_error: dict
 
 
-def _raycast_plane(pose_w_c, intr, pix, plane_depth: float):
-    """World point where the pixel's ray meets the z=plane_depth plane."""
+def _raycast_plane(pose_w_c, intr, pix, plane_depth: float,
+                   scene: str = "plane"):
+    """World point where the pixel's ray meets the simulated scene: the
+    z=plane_depth plane, or (scene="3walls") the nearest of the three
+    orthogonal walls matching io.sim.render_frame_3walls geometry."""
     bear_c = np.asarray(camera.unproject(intr, jnp.asarray(pix, jnp.float32)))
     R = np.asarray(lie.quat_to_matrix(jnp.asarray(pose_w_c[0:4], jnp.float32)))
     o = pose_w_c[4:7]
     d = R @ bear_c
-    t = (plane_depth - o[2]) / d[2]
-    return o + t * d
+    planes = [(2, plane_depth)]
+    if scene == "3walls":
+        planes += [(0, 0.4 * plane_depth), (1, 0.3 * plane_depth)]
+    t_best = np.inf
+    for axis, level in planes:
+        dn = d[axis] if abs(d[axis]) > 1e-9 else 1e-9
+        t = (level - o[axis]) / dn
+        if 1e-3 < t < t_best:
+            t_best = t
+    return o + t_best * d
 
 
 def evaluate_tracker(trajectories: dict, gt_t_us: np.ndarray,
                      gt_poses: np.ndarray, calib, plane_depth: float,
-                     min_points: int = 3) -> TrackerQuality:
+                     min_points: int = 3, scene: str = "plane") -> TrackerQuality:
     """Score feature tracks against plane-raycast ground truth."""
     intr = jnp.asarray(calib.to_array())
     errors = {}
@@ -55,7 +66,7 @@ def evaluate_tracker(trajectories: dict, gt_t_us: np.ndarray,
         pose0 = interpolate_gt(gt_t_us, gt_poses, int(t0))
         if pose0 is None:
             continue
-        w = _raycast_plane(pose0, intr, np.array([x0, y0]), plane_depth)
+        w = _raycast_plane(pose0, intr, np.array([x0, y0]), plane_depth, scene)
         errs = []
         for t_us, x, y in traj[1:]:
             pose = interpolate_gt(gt_t_us, gt_poses, int(t_us))
@@ -84,3 +95,67 @@ def evaluate_tracker(trajectories: dict, gt_t_us: np.ndarray,
         num_tracks=len(errors),
         per_track_error=errors,
     )
+
+
+def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
+                      out_dir: str = "/tmp/evo_quality") -> dict:
+    """Run the full pipeline on both simulated scenes and score against the
+    reference's published Table 1/2/3 numbers (BASELINE.md). Returns the
+    QUALITY artifact dict (written by `python -m evo_tpu.run.quality`)."""
+    import os
+    import tempfile
+
+    from evo_tpu.io import davis, sim
+    from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
+
+    # reference rows: (tracker mean err px, feature age s) per scene
+    reference = {
+        "plane": {"note": "closest published analogue: shapes_6dof",
+                  "tracker_err_px": 1.67, "feature_age_s": 4.44},
+        "3walls": {"note": "simulation_3walls, report Tables 1-2",
+                   "tracker_err_px": 1.17, "feature_age_s": 0.5},
+    }
+    results = {}
+    for scene in ("plane", "3walls"):
+        root = os.path.join(tempfile.gettempdir(), f"evo_quality_{scene}")
+        marker = os.path.join(root, "events.txt")
+        if not (os.path.exists(marker) and os.path.getsize(marker) > 0):
+            s = sim.EventCameraSimulator(sim.SimParams(
+                duration_s=duration_s, fps=fps, scene=scene, seed=1,
+            ))
+            sim.write_dataset(root, s.generate())
+        ds = davis.Davis240cDataset(root)
+        os.makedirs(out_dir, exist_ok=True)
+        ev = Evaluator(ds, EvaluatorParams(
+            output_dir=out_dir, run_compensation=False,
+        ))
+        ev.run()
+        ev.flush_pending()
+        q = evaluate_tracker(
+            ev.tracker.trajectories, ds.gt_t_us, ds.gt_poses, ds.calib,
+            plane_depth=2.0, scene=scene,
+        )
+        row = {
+            "tracker_err_px": round(q.mean_distance_error_px, 3),
+            "tracker_err_median_px": round(q.median_distance_error_px, 3),
+            "feature_age_s": round(q.mean_feature_age_s, 3),
+            "num_tracks": q.num_tracks,
+            "reference": reference[scene],
+        }
+        if ev.vo is not None and ev.vo.last_ate is not None:
+            row["ate_rmse_m"] = round(float(ev.vo.last_ate.rmse), 4)
+            row["ate_over_max_depth"] = round(float(ev.vo.last_ate.rmse) / 2.0, 4)
+            row["reference_ate_over_depth"] = "0.0036-0.035 (report Table 3)"
+        results[scene] = row
+    return results
+
+
+if __name__ == "__main__":
+    import json as _json
+    import sys as _sys
+
+    out = _sys.argv[1] if len(_sys.argv) > 1 else "QUALITY.json"
+    res = run_quality_suite()
+    with open(out, "w") as f:
+        _json.dump(res, f, indent=1)
+    print(_json.dumps(res, indent=1))

@@ -275,8 +275,14 @@ def compensate_window(
     height: int = 180,
     width: int = 240,
     mesh=None,
+    defer: bool = False,
 ):
     """Full window compensation (host orchestration + jitted solve).
+
+    With `defer=True`, returns a handle whose `.get()` yields the result
+    tuple — the device→host transfer overlaps later work instead of
+    blocking this window (nothing downstream in the pipeline consumes the
+    compensated image; it feeds artifacts/visualization only).
 
     With `mesh` (a (space, batch) jax.sharding.Mesh), the tile solve runs
     space-sharded via `dist.tiling.sharded_tile_solve_data` — tile columns
@@ -352,15 +358,25 @@ def compensate_window(
         jnp.asarray((t_mid - t_us).astype(np.float32)),
         p.scale, height, width,
     )
-    packed = np.asarray(
-        jnp.concatenate([
-            vel.ravel(), img.ravel(),
-            cost[None].astype(jnp.float32), cost0[None].astype(jnp.float32),
-        ])
+    from evo_tpu.core.fetch import fetch, fetch_async
+
+    tree = dict(
+        vel=vel.reshape(ty_n, tx_n, 2), img=img,
+        cost=cost.astype(jnp.float32), cost0=cost0.astype(jnp.float32),
     )
-    vel_np = packed[: 2 * T].reshape(ty_n, tx_n, 2)
-    img_np = packed[2 * T : 2 * T + height * width].reshape(height, width)
-    return vel_np, img_np, float(packed[-2]), float(packed[-1])
+
+    def unpack(d):
+        return d["vel"], d["img"], float(d["cost"]), float(d["cost0"])
+
+    if defer:
+        handle = fetch_async(tree)
+
+        class _Deferred:
+            def get(self):
+                return unpack(handle.get())
+
+        return _Deferred()
+    return unpack(fetch(tree))
 
 
 @partial(jax.jit, static_argnames=("scale", "height", "width"))

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from evo_tpu.core.fetch import fetch, fetch_async
 from evo_tpu.core.types import US_PER_S
 from evo_tpu.kernels import gradients, harris, lk
 from evo_tpu.tracker import align
@@ -112,6 +113,58 @@ def _apply_frame_update(table: ps.PatchTable, grads, new_grad, slot,
     return tbl, grads
 
 
+@partial(jax.jit, static_argnames=(
+    "max_corners", "quality_level", "min_distance", "block_size", "border",
+))
+def _frame_analyze(img, *, max_corners, quality_level, min_distance,
+                   block_size, border):
+    """One dispatch for the frame's read-only analysis: Harris corners +
+    log/Sobel gradient pair (detectFeatures + getLogImage + getGradients,
+    feature_detector.cpp:543-583, 714-732)."""
+    corners_xy, _, corners_valid = harris.detect_corners(
+        img,
+        max_corners=max_corners,
+        quality_level=quality_level,
+        min_distance=min_distance,
+        block_size=block_size,
+        border=border,
+    )
+    return corners_xy, corners_valid, _compute_grads(img)
+
+
+@partial(jax.jit, static_argnames=("with_lk", "lk_levels", "lk_radius", "h", "w"))
+def _frame_apply(table: ps.PatchTable, grads, new_grad, img, prev_img,
+                 ctrl_i32, *, with_lk, lk_levels, lk_radius, h, w):
+    """One dispatch for the frame's table mutations: insert new detections,
+    KLT-bootstrap uninitialized patches, event-budget update. The host
+    policy outputs arrive as ONE packed i32 control vector (new_mask,
+    new_track_id, new_center bits, slot) — separate pushes each pay a
+    tunnel round trip on remote TPU."""
+    p = table.capacity
+    new_mask = ctrl_i32[:p] != 0
+    new_tid = ctrl_i32[p:2 * p]
+    new_center = jax.lax.bitcast_convert_type(
+        ctrl_i32[2 * p:4 * p], jnp.float32
+    ).reshape(p, 2)
+    evict = ctrl_i32[4 * p:5 * p] != 0
+    slot = ctrl_i32[5 * p]
+    # gradient-slot eviction (see EventTracker.new_image): evicted patches
+    # die before insertion so their rows are reusable this same frame
+    table = dataclasses.replace(table, alive=table.alive & ~evict)
+    table, grads = _apply_frame_update(
+        table, grads, new_grad, slot, new_mask, new_center, new_tid
+    )
+    if with_lk:
+        _, flow_xy, status = lk.pyramidal_lk(
+            prev_img, img, table.center,
+            table.alive & ~table.initialized,
+            num_levels=lk_levels, radius=lk_radius,
+        )
+        table = _apply_flow_init(table, flow_xy, status, h, w)
+    table = align.update_num_of_events(table, new_grad)
+    return table, grads
+
+
 @jax.jit
 def _apply_flow_init(table: ps.PatchTable, flow_xy, status, h, w):
     """Flow bootstrap for uninitialized patches (flow_estimator.cpp:27-82):
@@ -186,6 +239,9 @@ class EventTracker:
         self.trajectories: dict[int, list[tuple[int, float, float]]] = {}
         self.final_cost_log: list[tuple[int, float, int]] = []
         self.archived_tracks: set[int] = set()
+        # freshest host mirror (set by new_image) — downstream consumers
+        # (keyframe build) reuse it instead of paying another pull
+        self.last_mirror: dict | None = None
 
     # -- time ------------------------------------------------------------
     def _rel(self, t_us: int) -> float:
@@ -202,7 +258,7 @@ class EventTracker:
         p = self.params
         t_rel = self._rel(t_us)
         img = jnp.asarray(image, jnp.float32)
-        corners_xy, _, corners_valid = harris.detect_corners(
+        corners_xy, corners_valid, new_grad = _frame_analyze(
             img,
             max_corners=p.max_patches,
             quality_level=p.quality_level,
@@ -210,11 +266,36 @@ class EventTracker:
             block_size=p.block_size,
             border=ps.PATCH_EXTENT + 1,
         )
-        new_grad = _compute_grads(img)
-        corners = np.asarray(corners_xy)[np.asarray(corners_valid)]
+        # ONE packed pull for corners + the table mirror (each separate
+        # np.asarray costs a full tunnel round trip on remote TPU)
+        pulled = fetch(dict(
+            cxy=corners_xy, cok=corners_valid,
+            alive=self.table.alive, initialized=self.table.initialized,
+            track_id=self.table.track_id, center=self.table.center,
+            ev_count=self.table.ev_count,
+            num_of_events=self.table.num_of_events,
+            grad_slot=self.table.grad_slot,
+        ))
+        corners = pulled["cxy"][pulled["cok"]]
+        mirror = {k: pulled[k] for k in (
+            "alive", "initialized", "track_id", "center", "ev_count",
+            "num_of_events", "grad_slot",
+        )}
+        self._archive_dead(mirror)
+        self._dispatch_frame(t_us, img, new_grad, corners, mirror)
 
+        # one pull serves lifecycle, trajectory logging, and the keyframe
+        # build downstream (evaluator._live_landmarks)
         mirror = ps.host_mirror(self.table)
-        alive = mirror["alive"]
+        self._consume_framelog(t_us, mirror)
+
+    def _frame_policy(self, t_us: int, corners: np.ndarray, mirror: dict):
+        """The host-side per-frame policy on the [P]-sized mirror: gradient
+        slot allocation/eviction, greedy corner association, insertion of
+        unmatched corners. Returns the packed i32 control vector consumed by
+        `_frame_apply` (tiny, so policy costs no device traffic)."""
+        p = self.params
+        alive = mirror["alive"].copy()
         centers = mirror["center"]
 
         # allocate a gradient slot for this frame. When every slot still
@@ -225,16 +306,18 @@ class EventTracker:
         # tracking against a corrupted gradient image. Eviction happens
         # before association so the evicted patches' corners re-enter as
         # fresh tracks this same frame.
+        evict = np.zeros(ps.MAX_PATCHES, bool)
         free_slots = np.flatnonzero(self.slot_refcount == 0)
         if len(free_slots):
             slot = int(free_slots[0])
         else:
             slot = int(np.argmin(self.slot_birth))
             evict = alive & (mirror["grad_slot"] == slot)
-            self.table = dataclasses.replace(
-                self.table, alive=self.table.alive & ~jnp.asarray(evict)
-            )
-            self._archive_dead()  # decrements this slot's refcount to 0
+            for i in np.flatnonzero(evict):
+                tid = int(mirror["track_id"][i])
+                if tid >= 0 and tid not in self.archived_tracks:
+                    self.archived_tracks.add(tid)
+                    self.slot_refcount[mirror["grad_slot"][i]] -= 1
             alive = alive & ~evict  # evicted rows are now free for reuse
         self.slot_birth[slot] = self.num_images
         self._newest_slot = slot
@@ -272,57 +355,59 @@ class EventTracker:
             self.slot_refcount[slot] += 1
             k += 1
 
-        self.table, self.grads = _apply_frame_update(
-            self.table, self.grads, jnp.asarray(new_grad), jnp.asarray(slot),
-            jnp.asarray(new_mask), jnp.asarray(new_center), jnp.asarray(new_tid),
-        )
+        return np.concatenate([
+            new_mask.astype(np.int32),
+            new_tid,
+            new_center.astype(np.float32).ravel().view(np.int32),
+            evict.astype(np.int32),
+            np.asarray([slot], np.int32),
+        ])
 
-        # KLT bootstrap for uninitialized patches (2nd frame onward)
+    def _dispatch_frame(self, t_us: int, img, new_grad, corners: np.ndarray,
+                        mirror: dict) -> None:
+        """Host policy + the single frame-mutation dispatch (insert
+        detections, KLT bootstrap, event-budget update)."""
+        p = self.params
+        ctrl = self._frame_policy(t_us, corners, mirror)
         self.num_images += 1
-        if self.prev_image is not None and self.num_images >= 2:
-            pts = self.table.center
-            _, flow_xy, status = lk.pyramidal_lk(
-                self.prev_image, img, pts,
-                self.table.alive & ~self.table.initialized,
-                num_levels=p.lk_levels, radius=p.lk_radius,
-            )
-            self.table = _apply_flow_init(
-                self.table, flow_xy, status,
-                jnp.asarray(self.height), jnp.asarray(self.width),
-            )
+        with_lk = self.prev_image is not None and self.num_images >= 2
+        self.table, self.grads = _frame_apply(
+            self.table, self.grads, new_grad, img,
+            self.prev_image if with_lk else img,
+            jnp.asarray(ctrl),
+            with_lk=with_lk, lk_levels=p.lk_levels, lk_radius=p.lk_radius,
+            h=self.height, w=self.width,
+        )
         self.prev_image = img
 
-        # event-budget update + border-lost for everyone (newImage calls
-        # updateNumOfEvents per patch, feature_detector.cpp:498-501)
-        self.table = align.update_num_of_events(self.table, jnp.asarray(new_grad))
-
-        # lifecycle: archive dead rows, release slot refcounts
-        self._archive_dead()
-
-        # trajectory entries for surviving patches at the frame timestamp
-        # (associatePatches does addTrajectoryPosition per frame, :646-648)
-        mirror = ps.host_mirror(self.table)
+    def _consume_framelog(self, t_us: int, mirror: dict) -> None:
+        """Lifecycle + per-frame trajectory entries from a post-frame mirror
+        (associatePatches does addTrajectoryPosition per frame, :646-648)."""
+        self._archive_dead(mirror)
         for i in np.flatnonzero(mirror["alive"]):
             tid = int(mirror["track_id"][i])
             cx, cy = mirror["center"][i]
             self.trajectories.setdefault(tid, []).append((int(t_us), float(cx), float(cy)))
+        self.last_mirror = mirror
 
-    def _archive_dead(self) -> None:
-        mirror = ps.host_mirror(self.table)
+    def _archive_dead(self, mirror: dict | None = None) -> None:
+        """Archive lost patches: refcount their gradient slot down and record
+        the track id. Pure host bookkeeping — the device table's track_id is
+        NOT rewritten (dead rows keep a stale id until reused by a new
+        detection); the `archived_tracks` set dedups, so each id archives
+        exactly once. Archival runs on every mirror pull, which happens
+        before any row reuse (reuse only occurs in the frame policy)."""
+        if mirror is None:
+            mirror = ps.host_mirror(self.table)
         dead = (~mirror["alive"]) & (mirror["track_id"] >= 0)
         if not dead.any():
             return
         for i in np.flatnonzero(dead):
             tid = int(mirror["track_id"][i])
+            if tid in self.archived_tracks:
+                continue
             self.archived_tracks.add(tid)
             self.slot_refcount[mirror["grad_slot"][i]] -= 1
-        # free the rows
-        tid_arr = jnp.asarray(mirror["track_id"])
-        dead_j = jnp.asarray(dead)
-        self.table = dataclasses.replace(
-            self.table,
-            track_id=jnp.where(dead_j, -1, tid_arr),
-        )
         self.slot_refcount = np.maximum(self.slot_refcount, 0)
 
     # -- event path ------------------------------------------------------
@@ -334,6 +419,17 @@ class EventTracker:
         n = len(t_us)
         if n == 0:
             return
+        bounds = self._subbatch_bounds(t_us)
+        if p.use_device_scan:
+            self._process_window_device(t_us, x, y, pol, bounds)
+        else:
+            for lo, hi in bounds:
+                self._process_sub_batch(t_us[lo:hi], x[lo:hi], y[lo:hi], pol[lo:hi])
+
+    def _subbatch_bounds(self, t_us) -> list[tuple[int, int]]:
+        """Cut a window into sub-batches bounded by count and duration."""
+        p = self.params
+        n = len(t_us)
         bounds = []
         lo = 0
         while lo < n:
@@ -342,15 +438,10 @@ class EventTracker:
             hi = max(lo + 1, min(hi_cnt, hi_time))
             bounds.append((lo, hi))
             lo = hi
-        if p.use_device_scan:
-            self._process_window_device(t_us, x, y, pol, bounds)
-        else:
-            for lo, hi in bounds:
-                self._process_sub_batch(t_us[lo:hi], x[lo:hi], y[lo:hi], pol[lo:hi])
+        return bounds
 
-    def _process_window_device(self, t_us, x, y, pol, bounds) -> None:
-        """One fused device dispatch for the whole window (lax.scan over
-        sub-batches; see align.process_window_scan)."""
+    def _window_batches(self, t_us, x, y, pol, bounds):
+        """Pad the window's sub-batches into [K, C] arrays for the scan."""
         if self.epoch_us is None:
             self.epoch_us = int(t_us[0])
         cap = self.params.sub_batch_events
@@ -370,6 +461,11 @@ class EventTracker:
             et[i, :m] = (t_us[lo:hi] - self.epoch_us) / US_PER_S
             ep[i, :m] = pol[lo:hi]
             mask[i, :m] = True
+        return ex, ey, et, ep, mask, k
+
+    def _dispatch_scan(self, ex, ey, et, ep, mask):
+        """Dispatch the fused window scan; returns the stacked log arrays
+        (device). Does NOT pull."""
         latest = self.grads[self._latest_slot()]
         scan_fn = (
             _sharded_window_scan(self.mesh)
@@ -381,18 +477,88 @@ class EventTracker:
             jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(et), jnp.asarray(ep),
             jnp.asarray(mask), latest,
         )
-        self._log_scan(stacked, k)
-        self._archive_dead()
+        return stacked
+
+    def _mirror_fields(self) -> dict:
+        t = self.table
+        return dict(
+            alive=t.alive, initialized=t.initialized, track_id=t.track_id,
+            center=t.center, ev_count=t.ev_count,
+            num_of_events=t.num_of_events, grad_slot=t.grad_slot,
+        )
+
+    def _process_window_device(self, t_us, x, y, pol, bounds) -> None:
+        """One fused device dispatch for the whole window (lax.scan over
+        sub-batches; see align.process_window_scan)."""
+        ex, ey, et, ep, mask, k = self._window_batches(t_us, x, y, pol, bounds)
+        stacked = self._dispatch_scan(ex, ey, et, ep, mask)
+        # ONE packed pull for the whole window: per-step solve logs + the
+        # post-scan table mirror for lifecycle
+        pulled = fetch(dict(stacked=stacked, mirror=self._mirror_fields()))
+        self._log_scan(pulled["stacked"], k)
+        self._archive_dead(pulled["mirror"])
+
+    def process_frame_window(self, t_us, x, y, pol, img_t_us: int,
+                             image: np.ndarray):
+        """The fused production step for one frame window: the event-window
+        scan and the frame analysis (Harris + gradients) are dispatched
+        together and served by ONE synchronous packed pull; the frame policy
+        and mutation dispatch follow immediately. The post-frame state comes
+        back as an ASYNC handle — the caller consumes it before the next
+        window (`consume_frame`), so its tunnel round trip overlaps the next
+        window's compute instead of blocking this one (the remote-TPU
+        equivalent of the reference's free-running callback loop,
+        main.cpp:76-137, where nothing ever blocks on readback).
+
+        Returns (frame_t_us, handle); pass both to `consume_frame`."""
+        p = self.params
+        self._rel(img_t_us if len(t_us) == 0 else int(t_us[0]))
+        img = jnp.asarray(image, jnp.float32)
+        corners_xy, corners_valid, new_grad = _frame_analyze(
+            img,
+            max_corners=p.max_patches,
+            quality_level=p.quality_level,
+            min_distance=p.min_distance,
+            block_size=p.block_size,
+            border=ps.PATCH_EXTENT + 1,
+        )
+        if len(t_us):
+            bounds = self._subbatch_bounds(t_us)
+            ex, ey, et, ep, mask, k = self._window_batches(t_us, x, y, pol, bounds)
+            stacked = self._dispatch_scan(ex, ey, et, ep, mask)
+            pulled = fetch(dict(
+                stacked=stacked, mirror=self._mirror_fields(),
+                cxy=corners_xy, cok=corners_valid,
+            ))
+            self._log_scan(pulled["stacked"], k)
+        else:
+            pulled = fetch(dict(
+                mirror=self._mirror_fields(),
+                cxy=corners_xy, cok=corners_valid,
+            ))
+        mirror = pulled["mirror"]
+        corners = pulled["cxy"][pulled["cok"]]
+        self._archive_dead(mirror)
+        self._dispatch_frame(img_t_us, img, new_grad, corners, mirror)
+        return int(img_t_us), fetch_async(self._mirror_fields())
+
+    def consume_frame(self, frame_t_us: int, handle) -> dict:
+        """Block on a `process_frame_window` handle (usually already landed)
+        and apply the deferred host bookkeeping; returns the post-frame
+        mirror (the keyframe input for VO)."""
+        mirror = handle.get()
+        self._consume_framelog(frame_t_us, mirror)
+        return mirror
 
     def _log_scan(self, stacked, k: int) -> None:
-        ran = np.asarray(stacked["ran"])[:k]  # [K, P]
+        ran = stacked["ran"][:k]  # [K, P]
         if not ran.any():
             return
-        cost = np.asarray(stacked["cost"])[:k]
-        cur_t = np.asarray(stacked["cur_t"])[:k]
-        center = np.asarray(stacked["center"])[:k]
-        alive = np.asarray(stacked["alive"])[:k]
-        tid_arr = np.asarray(stacked["track_id"])[:k]
+        cost = stacked["cost"][:k]
+        cur_t = stacked["cur_t"][:k]
+        center = stacked["center"][:k]
+        alive = stacked["alive"][:k]
+        tid_arr = stacked["track_id"][:k]
         for step in range(k):
             for i in np.flatnonzero(ran[step]):
                 tid = int(tid_arr[step, i])

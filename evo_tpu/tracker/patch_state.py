@@ -170,13 +170,17 @@ def newest_events(table: PatchTable):
 
 
 def host_mirror(table: PatchTable) -> dict:
-    """Pull the small control fields to host numpy (for per-frame policy)."""
-    return dict(
-        alive=np.asarray(table.alive),
-        initialized=np.asarray(table.initialized),
-        track_id=np.asarray(table.track_id),
-        center=np.asarray(table.center),
-        ev_count=np.asarray(table.ev_count),
-        num_of_events=np.asarray(table.num_of_events),
-        grad_slot=np.asarray(table.grad_slot),
-    )
+    """Pull the small control fields to host numpy (for per-frame policy).
+    One packed transfer — on a remote-attached TPU, 7 separate pulls would
+    cost 7 tunnel round trips (~0.5 s) per call."""
+    from evo_tpu.core.fetch import fetch
+
+    return fetch(dict(
+        alive=table.alive,
+        initialized=table.initialized,
+        track_id=table.track_id,
+        center=table.center,
+        ev_count=table.ev_count,
+        num_of_events=table.num_of_events,
+        grad_slot=table.grad_slot,
+    ))

@@ -99,6 +99,39 @@ class TestEvaluator:
         assert len(vels) >= 1
         assert max(vels) == pytest.approx(100.0, abs=15.0), vels
 
+    def test_pipelined_matches_sync(self, square_dataset, tmp_path):
+        """The pipelined drive (one sync pull per window, deferred VO /
+        logs / compensation readback) must produce identical artifacts to
+        the stepwise path — VO and the compensated image are pure consumers
+        of tracker state, so deferring them one window changes nothing."""
+        from evo_tpu.tracker.compensate import CompensateParams
+
+        outs = {}
+        for name, pipe in (("sync", False), ("pipe", True)):
+            d = tmp_path / name
+            d.mkdir()
+            ds = davis.Davis240cDataset(square_dataset)
+            params = EvaluatorParams(
+                output_dir=str(d), pipelined=pipe,
+                compensation_events=4000,
+                compensate=CompensateParams(max_iters=4, events_per_tile_cap=512),
+            )
+            ev = Evaluator(ds, params)
+            ev.run(max_frames=5)
+            outs[name] = (ev, ev.finish())
+        t_sync = davis.parse_trajectory(outs["sync"][1]["trajectory"])
+        t_pipe = davis.parse_trajectory(outs["pipe"][1]["trajectory"])
+        assert set(t_sync) == set(t_pipe)
+        for tid in t_sync:
+            np.testing.assert_array_equal(t_sync[tid][0], t_pipe[tid][0])
+            np.testing.assert_allclose(t_sync[tid][1], t_pipe[tid][1], atol=1e-4)
+        np.testing.assert_allclose(
+            outs["pipe"][0].motion_field, outs["sync"][0].motion_field, atol=1e-5
+        )
+        v_s = np.loadtxt(outs["sync"][1]["vo_trajectory"])
+        v_p = np.loadtxt(outs["pipe"][1]["vo_trajectory"])
+        np.testing.assert_allclose(v_p, v_s, atol=1e-4)
+
     def test_compensation_runs(self, square_dataset, tmp_path):
         from evo_tpu.tracker.compensate import CompensateParams
 
