@@ -96,6 +96,90 @@ def save_patch_views(out_dir: str, tracker, patch_idx: int = 0) -> dict:
     return paths
 
 
+def _np_quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """Host-side [w,x,y,z] quaternion → rotation matrix (no jax import)."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _frustum_segments(pose: np.ndarray, scale: float = 0.15):
+    """Camera-frustum wireframe segments for a T_w_c pose [qw qx qy qz tx ty tz]
+    — the GL pyramid of `renderCamera` (`scene_helper.h:8-39`): center to the
+    four image corners plus the far rectangle."""
+    R = _np_quat_to_mat(np.asarray(pose[:4], np.float64))
+    c = np.asarray(pose[4:7], np.float64)
+    # image-corner rays in camera frame (square pyramid, z forward)
+    corners = np.array([
+        [-1, -1, 2.0], [1, -1, 2.0], [1, 1, 2.0], [-1, 1, 2.0]
+    ]) * scale
+    pts = (R @ corners.T).T + c
+    segs = [(c, p) for p in pts]
+    segs += [(pts[i], pts[(i + 1) % 4]) for i in range(4)]
+    return segs
+
+
+def render_scene_3d(out_path: str, vo, max_stored: int = 60) -> str | None:
+    """3D scene view to PNG — the offline counterpart of the reference's
+    interactive scene (`drawScene`, `visualizer.cpp:253-315`): active keyframe
+    frusta (green), stored keyframe frusta (gray), Sim3-aligned ground-truth
+    trail (red), live landmarks (blue) and archived landmarks (light gray)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.mplot3d.art3d import Line3DCollection
+    except ImportError:
+        return None
+
+    active = [vo.active_frames[t].pose for t in sorted(vo.active_frames)]
+    stored = [kf.pose for kf in vo.stored_frames[-max_stored:]]
+    if not active and not stored:
+        return None
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+
+    def add_frusta(poses, color, lw):
+        segs = [s for p in poses for s in _frustum_segments(np.asarray(p))]
+        if segs:
+            ax.add_collection3d(
+                Line3DCollection(segs, colors=color, linewidths=lw)
+            )
+
+    add_frusta(stored, "0.6", 0.6)
+    add_frusta(active, "tab:green", 1.0)
+    if vo.map.landmarks:
+        lm = np.stack(list(vo.map.landmarks.values()))
+        ax.scatter(lm[:, 0], lm[:, 1], lm[:, 2], s=4, c="tab:blue",
+                   label=f"landmarks ({len(lm)})")
+    if getattr(vo, "stored_landmarks", None):
+        sl = np.stack([p for _, p in vo.stored_landmarks])
+        ax.scatter(sl[:, 0], sl[:, 1], sl[:, 2], s=2, c="0.75",
+                   label=f"archived ({len(sl)})")
+    if vo.gt_aligned:
+        gt = np.stack([np.asarray(g[4:7]) for g in vo.gt_aligned])
+        ax.plot(gt[:, 0], gt[:, 1], gt[:, 2], "r--", lw=1,
+                label="GT (Sim3-aligned)")
+    # equal aspect around the data
+    allp = [np.asarray(p[4:7]) for p in active + stored]
+    pts = np.stack(allp) if allp else np.zeros((1, 3))
+    ctr, rad = pts.mean(0), max(float(np.ptp(pts, 0).max()) / 2, 0.5)
+    ax.set_xlim(ctr[0] - rad, ctr[0] + rad)
+    ax.set_ylim(ctr[1] - rad, ctr[1] + rad)
+    ax.set_zlim(ctr[2] - rad, ctr[2] + rad)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_zlabel("z [m]")
+    ax.legend(loc="upper right", fontsize=8)
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def plot_trajectories(out_path: str, vo, show_gt: bool = True) -> str | None:
     """2D top-down trajectory plot: estimated keyframe centers vs the
     Sim3-aligned ground truth (the 3D-scene replacement)."""

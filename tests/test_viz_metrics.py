@@ -65,3 +65,29 @@ class TestViz:
         out = viz.plot_trajectories(str(tmp_path / "traj.png"), vo)
         if out is not None:  # matplotlib present
             assert os.path.exists(out)
+
+    def test_scene_3d_render(self, tmp_path):
+        """3D scene view (frusta + landmarks + GT trail) renders to PNG —
+        offline counterpart of `drawScene` (visualizer.cpp:253-315)."""
+        import tests.test_vo as tv
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        world = tv._make_world(rng)
+        vo = tv.frontend.VisualOdometryFrontEnd(tv.CALIB)
+        intr = jnp.asarray(tv.CALIB.to_array())
+        gt_t = np.arange(12, dtype=np.int64) * 50_000
+        vo.set_ground_truth(gt_t, np.stack([tv._camera_pose(i) for i in range(12)]))
+        for i in range(7):
+            vo.new_keyframe_candidate(tv._keyframe_for(i, world, intr, rng))
+        assert vo.map.landmarks  # scene has live landmarks to draw
+        out = viz.render_scene_3d(str(tmp_path / "scene.png"), vo)
+        if out is not None:  # matplotlib present
+            assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+    def test_frustum_segments_shape(self):
+        ident = np.array([1.0, 0, 0, 0, 0.5, -0.25, 2.0])
+        segs = viz._frustum_segments(ident, scale=0.1)
+        assert len(segs) == 8  # 4 center->corner rays + 4 far-rect edges
+        for a, b in segs:
+            assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
