@@ -26,20 +26,31 @@ def essential_from_rt(q_2_1, t_2_1):
     return lie.so3_hat(t_2_1) @ R
 
 
-def eight_point(f1, f2, weights=None):
+def eight_point(f1, f2, weights=None, refine_null: bool = False):
     """Linear 8-point essential estimate from N >= 8 bearing pairs.
 
     f1, f2: [N, 3]. weights: optional [N] (0 masks a row out).
     Returns E [3, 3] projected onto the essential manifold (sv = (1, 1, 0)).
+
+    `refine_null=True` runs compensated-Gram iterative refinement of the
+    null vector (solve.precision.refined_null_vector) — the f32 answer to the
+    reference's f64 SVD (SURVEY §7 hard part 6): the linear f32 null space
+    has a ~1e-3 residual floor that the refinement pushes to the ~1e-6 level
+    on conditioned problems.
     """
     # rows: kron(f1_i, f2_i) so that vec(E) solves A e = 0 with
     # f2ᵀ E f1 = sum_jk E_jk f2_j f1_k
     A = (f2[:, :, None] * f1[:, None, :]).reshape(-1, 9)  # [N, 9]
     if weights is not None:
         A = A * weights[:, None]
-    # null vector via SVD of A
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    e = vt[-1]
+    if refine_null:
+        from evo_tpu.solve.precision import refined_null_vector
+
+        e = refined_null_vector(A)
+    else:
+        # null vector via SVD of A
+        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+        e = vt[-1]
     E = e.reshape(3, 3)
     # project to essential manifold
     u, s, vt2 = jnp.linalg.svd(E)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from evo_tpu.core import camera, lie
 from evo_tpu.solve.lm import huber_weights
+from evo_tpu.solve.precision import compensated_scatter_add
 
 HUBER = 0.8
 MAX_ITERS = 50
@@ -57,7 +58,7 @@ def _inv3(m):
     return jnp.linalg.inv(m)
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
+@partial(jax.jit, static_argnames=("num_iters", "compensated"))
 def ba_solve(
     poses,
     landmarks,
@@ -70,12 +71,19 @@ def ba_solve(
     *,
     num_iters: int = MAX_ITERS,
     huber: float = HUBER,
+    compensated: bool = False,
 ):
     """Run the windowed BA.
 
     poses [F, 7] (T_w_c), landmarks [L, 3], intr [9] (constant),
     obs_frame/obs_lm [O] int32 indices, obs_p2d [O, 2], obs_mask [O] bool,
     pose_fixed [F] bool (gauge: first two active frames).
+
+    `compensated=True` assembles the normal-equation blocks with two-float
+    (Kahan) chunked accumulation (solve.precision) so every block entry is
+    the correctly rounded f32 sum regardless of observation count — the
+    f32-native answer to the reference's all-f64 Ceres assembly (SURVEY §7
+    hard part 6). The LM path itself stays f32.
 
     Returns (poses', landmarks', final_cost, initial_cost).
     """
@@ -114,23 +122,27 @@ def ba_solve(
         poses, landmarks, lam, cost = state
         r, Jp, Jl, w = linearize(poses, landmarks)
         wr = r * w[:, None]  # weighted residuals
-        # block assembly via scatter-add
-        Hpp = jnp.zeros((F, 6, 6), dtype).at[obs_frame].add(
-            jnp.einsum("oij,oik->ojk", Jp * w[:, None, None], Jp)
-        )
-        Hll = jnp.zeros((L, 3, 3), dtype).at[obs_lm].add(
-            jnp.einsum("oij,oik->ojk", Jl * w[:, None, None], Jl)
-        )
-        bp = jnp.zeros((F, 6), dtype).at[obs_frame].add(
-            jnp.einsum("oij,oi->oj", Jp, wr)
-        )
-        bl = jnp.zeros((L, 3), dtype).at[obs_lm].add(
-            jnp.einsum("oij,oi->oj", Jl, wr)
-        )
+        # block assembly via scatter-add (optionally depth-error-free)
+        v_Hpp = jnp.einsum("oij,oik->ojk", Jp * w[:, None, None], Jp)
+        v_Hll = jnp.einsum("oij,oik->ojk", Jl * w[:, None, None], Jl)
+        v_bp = jnp.einsum("oij,oi->oj", Jp, wr)
+        v_bl = jnp.einsum("oij,oi->oj", Jl, wr)
         # per-(landmark, frame) coupling blocks A[l, f] = Σ_o w JpᵀJl
-        A = jnp.zeros((L, F, 6, 3), dtype).at[obs_lm, obs_frame].add(
-            jnp.einsum("oij,oik->ojk", Jp * w[:, None, None], Jl)
-        )
+        v_A = jnp.einsum("oij,oik->ojk", Jp * w[:, None, None], Jl)
+        if compensated:
+            Hpp = compensated_scatter_add(obs_frame, v_Hpp, F)
+            Hll = compensated_scatter_add(obs_lm, v_Hll, L)
+            bp = compensated_scatter_add(obs_frame, v_bp, F)
+            bl = compensated_scatter_add(obs_lm, v_bl, L)
+            A = compensated_scatter_add(
+                obs_lm * F + obs_frame, v_A, L * F
+            ).reshape(L, F, 6, 3)
+        else:
+            Hpp = jnp.zeros((F, 6, 6), dtype).at[obs_frame].add(v_Hpp)
+            Hll = jnp.zeros((L, 3, 3), dtype).at[obs_lm].add(v_Hll)
+            bp = jnp.zeros((F, 6), dtype).at[obs_frame].add(v_bp)
+            bl = jnp.zeros((L, 3), dtype).at[obs_lm].add(v_bl)
+            A = jnp.zeros((L, F, 6, 3), dtype).at[obs_lm, obs_frame].add(v_A)
         # damping (Marquardt diagonal scaling)
         dpp = jnp.clip(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-8, None)
         dll = jnp.clip(jnp.diagonal(Hll, axis1=1, axis2=2), 1e-8, None)

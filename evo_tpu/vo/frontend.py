@@ -57,6 +57,10 @@ class VoParams:
     huber_loss: float = 0.8
     num_bootstrap_hypotheses: int = 256
     num_localize_hypotheses: int = 128
+    # compensated (two-float Kahan) assembly of the BA normal-equation
+    # blocks — depth-independent f32 accumulation error on long windows
+    # (solve.precision; SURVEY §7 hard part 6)
+    ba_compensated: bool = False
     # "cpu": run the VO geometry (RANSAC, triangulation, BA, Sim3) on the
     # host CPU jax backend. These solves are tiny (≤20 poses, hundreds of
     # landmarks) and dispatch-latency-bound: on a remote-attached TPU every
@@ -393,6 +397,7 @@ class VisualOdometryFrontEnd:
             jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op), jnp.asarray(om),
             jnp.asarray(fixed),
             num_iters=self.params.max_iterations, huber=self.params.huber_loss,
+            compensated=self.params.ba_compensated,
         )
         new_poses = np.asarray(new_poses, np.float64)
         new_lms = np.asarray(new_lms, np.float64)
