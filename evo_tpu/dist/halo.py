@@ -14,11 +14,9 @@ mesh neighbors, implemented with `jax.lax.ppermute` inside `shard_map`.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
 
 from evo_tpu.dist.mesh import SPACE_AXIS
 

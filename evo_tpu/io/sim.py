@@ -29,7 +29,6 @@ import numpy as np
 
 from evo_tpu.core import camera, lie
 from evo_tpu.core.types import CalibParams
-from evo_tpu.kernels import gradients
 
 
 @dataclasses.dataclass

@@ -12,7 +12,6 @@ continues from the exact frame where the checkpoint was taken.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 
 import jax.numpy as jnp

@@ -96,7 +96,6 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
 
     if args.dump_images and ev.compensated_image is not None:
-        import numpy as np
         from PIL import Image
 
         img = ev.compensated_image

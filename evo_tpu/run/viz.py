@@ -77,8 +77,6 @@ def save_rgb(path: str, rgb: np.ndarray) -> str:
 def save_patch_views(out_dir: str, tracker, patch_idx: int = 0) -> dict:
     """The per-patch debug views: integrated nabla, predicted nabla, cost
     map (`visualizer.h:20-26`)."""
-    import jax.numpy as jnp
-
     from evo_tpu.tracker import align
 
     os.makedirs(out_dir, exist_ok=True)

@@ -27,7 +27,7 @@ Semantics mirrored from the reference:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 PATCH_EXTENT = 12
 PATCH_SIDE = 2 * PATCH_EXTENT + 1  # 25

@@ -2,7 +2,6 @@
 parity, halo exchange, psum-reduced BA normal equations — the 1-device vs
 N-device agreement tests SURVEY.md §4 calls for."""
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -13,7 +12,6 @@ from jax.sharding import PartitionSpec as P
 
 from evo_tpu.dist import halo, mesh, reduce, tiling
 from evo_tpu.kernels.splat import splat_image
-from evo_tpu.vo import ba
 from tests.test_run import square_dataset  # noqa: F401 (fixture)
 
 

@@ -8,7 +8,6 @@ stochastic tolerances).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from evo_tpu.core import lie
 

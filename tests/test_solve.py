@@ -5,7 +5,6 @@ reference's `optimizer_test.cpp:69-149` and `triangulation_test.cpp:5-23`."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from evo_tpu.core import lie
 from evo_tpu.solve import epipolar, p3p, ransac, triangulate
