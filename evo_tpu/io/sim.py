@@ -171,6 +171,25 @@ class EventCameraSimulator:
             self.p.texture_cells,
         )
 
+    def _render_batch(self, ts: np.ndarray) -> np.ndarray:
+        """Render a batch of timestamps in ONE device dispatch + ONE pull
+        (the per-substep eager renders cost one round trip each, which
+        dominates generation for long sequences)."""
+        poses = jnp.asarray(
+            np.stack([self.trajectory_fn(float(t)) for t in ts]), jnp.float32
+        )
+        renderer = (
+            render_frame_3walls if self.p.scene == "3walls" else render_frame
+        )
+        fn = jax.vmap(
+            lambda pose: renderer(
+                pose, self.intr, self.key,
+                self.p.height, self.p.width, self.p.plane_depth,
+                self.p.texture_cells,
+            )
+        )
+        return np.asarray(fn(poses))
+
     def generate(self):
         """Run the simulation. Returns dict with events (t_us, x, y, p),
         frames [(t_us, img)], gt [(t_us, pose)]."""
@@ -182,16 +201,17 @@ class EventCameraSimulator:
         # per-pixel reference log intensity at the last event
         img0 = np.asarray(self._render(0.0))
         ref_log = np.log(img0 + 0.1)
-        t = 0.0
         for f in range(n_frames):
             t_frame = f / p.fps
-            img = np.asarray(self._render(t_frame))
+            # frame + all substeps in one dispatch/pull
+            ts = t_frame + np.arange(p.substeps + 1) * dt_sub
+            batch = self._render_batch(ts)
+            img = batch[0]
             frames.append((int(round(t_frame * 1e6)), img))
             gt.append((int(round(t_frame * 1e6)), self.trajectory_fn(t_frame)))
-            prev_log = np.log(img + 0.1)
             for s in range(1, p.substeps + 1):
                 t_sub = t_frame + s * dt_sub
-                cur = np.asarray(self._render(t_sub))
+                cur = batch[s]
                 cur_log = np.log(cur + 0.1)
                 # fire events where |cur_log - ref_log| >= C (possibly
                 # multiple per pixel), linear timing inside the substep
@@ -212,7 +232,6 @@ class EventCameraSimulator:
                     events_y.append(ys[reps].astype(np.int16))
                     events_p.append(pols[reps])
                     ref_log[ys, xs] += pols * ks * p.contrast_threshold
-                prev_log = cur_log
         t_all = np.concatenate(events_t) if events_t else np.zeros(0)
         x_all = np.concatenate(events_x) if events_x else np.zeros(0, np.int16)
         y_all = np.concatenate(events_y) if events_y else np.zeros(0, np.int16)
@@ -233,9 +252,16 @@ def write_dataset(out_dir: str, sim_output: dict) -> str:
 
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     ev = sim_output["events"]
-    with open(os.path.join(out_dir, "events.txt"), "w") as f:
-        for t, x, y, p in zip(ev["t_us"], ev["x"], ev["y"], ev["p"]):
-            f.write(f"{t / 1e6:.9f} {x} {y} {1 if p > 0 else 0}\n")
+    # vectorized text write (a per-event f-string loop costs minutes on
+    # multi-million-event sequences)
+    cols = np.stack([
+        ev["t_us"] / 1e6,
+        ev["x"].astype(np.float64),
+        ev["y"].astype(np.float64),
+        (ev["p"] > 0).astype(np.float64),
+    ], axis=-1)
+    np.savetxt(os.path.join(out_dir, "events.txt"), cols,
+               fmt=("%.9f", "%d", "%d", "%d"))
     with open(os.path.join(out_dir, "images.txt"), "w") as f:
         for i, (t_us, img) in enumerate(sim_output["frames"]):
             name = f"images/frame_{i:08d}.png"

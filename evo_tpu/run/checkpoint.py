@@ -32,6 +32,8 @@ def state_dict(ev: Evaluator) -> dict:
         state[f"table.{name}"] = np.asarray(getattr(tr.table, name))
     state["tracker.grads"] = np.asarray(tr.grads)
     state["tracker.slot_refcount"] = tr.slot_refcount.copy()
+    state["tracker.slot_birth"] = tr.slot_birth.copy()
+    state["tracker.pstate.slot_birth"] = np.asarray(tr.pstate.slot_birth)
     if tr.prev_image is not None:
         state["tracker.prev_image"] = np.asarray(tr.prev_image)
 
@@ -42,6 +44,9 @@ def state_dict(ev: Evaluator) -> dict:
             "next_track_id": tr.next_track_id,
             "epoch_us": tr.epoch_us,
             "num_images": tr.num_images,
+            "newest_slot": tr._newest_slot,
+            "pstate_next_tid": int(np.asarray(tr.pstate.next_tid)),
+            "pstate_frame_no": int(np.asarray(tr.pstate.frame_no)),
             "trajectories": {str(k): v for k, v in tr.trajectories.items()},
             "final_cost_log": tr.final_cost_log,
             "archived_tracks": sorted(tr.archived_tracks),
@@ -92,6 +97,16 @@ def restore_into(ev: Evaluator, state: dict) -> Evaluator:
     tr.next_track_id = tmeta["next_track_id"]
     tr.epoch_us = tmeta["epoch_us"]
     tr.num_images = tmeta["num_images"]
+    if "tracker.slot_birth" in state:
+        tr.slot_birth = np.asarray(state["tracker.slot_birth"]).copy()
+        tr._newest_slot = tmeta["newest_slot"]
+        from evo_tpu.tracker import policy as _policy
+
+        tr.pstate = _policy.PolicyState(
+            slot_birth=jnp.asarray(state["tracker.pstate.slot_birth"]),
+            next_tid=jnp.asarray(tmeta["pstate_next_tid"], jnp.int32),
+            frame_no=jnp.asarray(tmeta["pstate_frame_no"], jnp.int32),
+        )
     tr.trajectories = {
         int(k): [tuple(e) for e in v] for k, v in tmeta["trajectories"].items()
     }

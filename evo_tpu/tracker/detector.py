@@ -38,7 +38,7 @@ import numpy as np
 from evo_tpu.core.fetch import fetch, fetch_async
 from evo_tpu.core.types import US_PER_S
 from evo_tpu.kernels import gradients, harris, lk
-from evo_tpu.tracker import align
+from evo_tpu.tracker import align, policy
 from evo_tpu.tracker import patch_state as ps
 
 _log = logging.getLogger(__name__)
@@ -70,6 +70,12 @@ class TrackerParams:
     # process a whole window's sub-batches in one device dispatch
     # (lax.scan); False = one dispatch per sub-batch (debug/step mode)
     use_device_scan: bool = True
+    # run the per-frame policy (association/slots/insertion) on device so a
+    # frame window needs ZERO synchronous device->host pulls (the host
+    # consumes a deferred log one window later). Falls back to the host
+    # policy under a mesh (the policy's table-wide argmin/cumsum would need
+    # cross-shard collectives).
+    device_policy: bool = True
 
 
 @partial(jax.jit, static_argnames=())
@@ -192,6 +198,66 @@ def _apply_flow_init(table: ps.PatchTable, flow_xy, status, h, w):
     )
 
 
+@partial(jax.jit, static_argnames=(
+    "has_events", "with_lk", "lk_levels", "lk_radius", "h", "w",
+    "max_corners", "quality_level", "min_distance", "block_size", "border",
+    "max_patches", "association_distance",
+))
+def _fused_window_step(table: ps.PatchTable, grads, pstate: policy.PolicyState,
+                       ex, ey, et, ep, mask, img, prev_img, *,
+                       has_events, with_lk, lk_levels, lk_radius, h, w,
+                       max_corners, quality_level, min_distance, block_size,
+                       border, max_patches, association_distance):
+    """ONE dispatch for a whole frame window: event-window scan, Harris +
+    gradients, device frame policy, and the table mutation. Nothing here
+    requires a synchronous host pull — the returned `stacked`/`framelog` are
+    consumed asynchronously one window later (see
+    EventTracker.process_frame_window / consume_frame), so the hot loop never
+    blocks on the device↔host tunnel (the remote-TPU equivalent of the
+    reference's free-running callback loop, main.cpp:76-137)."""
+    corners_xy, corners_valid, new_grad = _frame_analyze(
+        img, max_corners=max_corners, quality_level=quality_level,
+        min_distance=min_distance, block_size=block_size, border=border,
+    )
+    stacked = None
+    if has_events:
+        # newest detection-frame gradients for the in-scan budget update:
+        # the slot written by the PREVIOUS frame (frame numbers strictly
+        # increase, so argmax picks it; frame 0 reads the zero slot — same
+        # as the host path's initial _newest_slot = 0)
+        latest = grads[jnp.argmax(pstate.slot_birth)]
+        table, stacked = align.process_window_scan(
+            table, grads, ex, ey, et, ep, mask, latest
+        )
+    decisions, pstate = policy.frame_policy(
+        table, pstate, corners_xy, corners_valid,
+        max_patches=max_patches, association_distance=association_distance,
+    )
+    evict_tid = jnp.where(decisions["evict"], table.track_id, -1)
+    table = dataclasses.replace(table, alive=table.alive & ~decisions["evict"])
+    table, grads = _apply_frame_update(
+        table, grads, new_grad, decisions["slot"], decisions["new_mask"],
+        decisions["new_center"], decisions["new_tid"],
+    )
+    if with_lk:
+        _, flow_xy, status = lk.pyramidal_lk(
+            prev_img, img, table.center,
+            table.alive & ~table.initialized,
+            num_levels=lk_levels, radius=lk_radius,
+        )
+        table = _apply_flow_init(table, flow_xy, status, h, w)
+    table = align.update_num_of_events(table, new_grad)
+    framelog = dict(
+        evict_tid=evict_tid,
+        new_mask=decisions["new_mask"],
+        new_tid=decisions["new_tid"],
+        new_center=decisions["new_center"],
+        alive=table.alive, track_id=table.track_id,
+        center=table.center, grad_slot=table.grad_slot,
+    )
+    return table, grads, pstate, stacked, framelog
+
+
 @lru_cache(maxsize=None)
 def _sharded_window_scan(mesh):
     """Compile-once shard_map'ed window scan: the patch table's leading axis
@@ -226,6 +292,7 @@ class EventTracker:
         self.width = width
         self.table = ps.empty_table()
         self.grads = jnp.zeros((ps.GRAD_SLOTS, 2, height, width), jnp.float32)
+        self.pstate = policy.empty_state()
         self.slot_refcount = np.zeros(ps.GRAD_SLOTS, np.int64)
         # detection-frame number each slot's gradients were written at
         # (-1 = never); drives oldest-first eviction and the newest-slot lookup
@@ -514,6 +581,8 @@ class EventTracker:
         p = self.params
         self._rel(img_t_us if len(t_us) == 0 else int(t_us[0]))
         img = jnp.asarray(image, jnp.float32)
+        if p.device_policy and self.mesh is None:
+            return self._process_frame_window_fused(t_us, x, y, pol, img_t_us, img)
         corners_xy, corners_valid, new_grad = _frame_analyze(
             img,
             max_corners=p.max_patches,
@@ -540,13 +609,69 @@ class EventTracker:
         corners = pulled["cxy"][pulled["cok"]]
         self._archive_dead(mirror)
         self._dispatch_frame(img_t_us, img, new_grad, corners, mirror)
-        return int(img_t_us), fetch_async(self._mirror_fields())
+        return int(img_t_us), ("host", fetch_async(self._mirror_fields()))
+
+    def _process_frame_window_fused(self, t_us, x, y, pol, img_t_us: int,
+                                    img) -> tuple:
+        """Device-policy variant of `process_frame_window`: the whole window
+        is ONE dispatch with ZERO synchronous pulls (evo_tpu.tracker.policy);
+        logs come back through the async handle one window later."""
+        p = self.params
+        has_events = len(t_us) > 0
+        if has_events:
+            bounds = self._subbatch_bounds(t_us)
+            ex, ey, et, ep, mask, k = self._window_batches(t_us, x, y, pol, bounds)
+        else:
+            cap = p.sub_batch_events
+            ex = ey = et = ep = np.zeros((1, cap), np.float32)
+            mask = np.zeros((1, cap), bool)
+            k = 0
+        self.num_images += 1
+        with_lk = self.prev_image is not None and self.num_images >= 2
+        prev = self.prev_image if with_lk else img
+        self.table, self.grads, self.pstate, stacked, framelog = _fused_window_step(
+            self.table, self.grads, self.pstate,
+            jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(et), jnp.asarray(ep),
+            jnp.asarray(mask), img, prev,
+            has_events=has_events, with_lk=with_lk,
+            lk_levels=p.lk_levels, lk_radius=p.lk_radius,
+            h=self.height, w=self.width,
+            max_corners=p.max_patches, quality_level=p.quality_level,
+            min_distance=p.min_distance, block_size=p.block_size,
+            border=ps.PATCH_EXTENT + 1,
+            max_patches=p.max_patches,
+            association_distance=p.association_distance,
+        )
+        self.prev_image = img
+        out = dict(framelog=framelog)
+        if stacked is not None:
+            out["stacked"] = stacked
+        return int(img_t_us), ("fused", fetch_async(out), k)
 
     def consume_frame(self, frame_t_us: int, handle) -> dict:
         """Block on a `process_frame_window` handle (usually already landed)
         and apply the deferred host bookkeeping; returns the post-frame
         mirror (the keyframe input for VO)."""
-        mirror = handle.get()
+        if handle[0] == "fused":
+            _, h, k = handle
+            pulled = h.get()
+            if "stacked" in pulled:
+                self._log_scan(pulled["stacked"], k)
+            fl = pulled["framelog"]
+            # archive patches evicted by slot reclamation (their rows may
+            # have been reused for new detections in the same frame)
+            for tid in fl["evict_tid"][fl["evict_tid"] >= 0]:
+                self.archived_tracks.add(int(tid))
+            # seed trajectories of this frame's new detections
+            for r in np.flatnonzero(fl["new_mask"]):
+                tid = int(fl["new_tid"][r])
+                cx, cy = fl["new_center"][r]
+                self.trajectories[tid] = [(int(frame_t_us), float(cx), float(cy))]
+            mirror = {kk: fl[kk] for kk in
+                      ("alive", "track_id", "center", "grad_slot")}
+            self._consume_framelog(frame_t_us, mirror)
+            return mirror
+        mirror = handle[1].get()
         self._consume_framelog(frame_t_us, mirror)
         return mirror
 

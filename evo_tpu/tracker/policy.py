@@ -1,0 +1,140 @@
+"""Device-resident per-frame policy — association, slot allocation, insertion.
+
+The reference runs its per-frame bookkeeping as host control flow over a
+patch list (`FeatureDetector::newImage`, feature_detector.cpp:493-541:
+greedy corner association :630-664, per-frame gradient-slot refcounting
+:512-535). Round-1 kept that policy on the host, which costs one synchronous
+device→host round trip per frame window — ~45 ms through a remote-TPU
+tunnel, i.e. the entire real-time budget of a 50 ms window.
+
+This module moves the exact same policy into jitted device code over the
+fixed-capacity patch table, so the whole frame step (event-window scan +
+Harris + policy + table mutation) is ONE dispatch with no synchronous pull;
+the host consumes a deferred log one window later. Every rule matches the
+host reference implementation (detector.EventTracker._frame_policy) row- and
+rank-order exactly; tests/test_tracker.py asserts parity on randomized
+scenarios.
+
+Policy rules mirrored (row order = reference list order):
+- gradient-slot allocation: first slot with zero live references, else evict
+  the slot with the oldest detection frame and kill its patches
+  (detector.py round-1 fix of the reference's silent overwrite);
+- greedy association: each live patch claims its nearest unclaimed corner
+  within `association_distance` (feature_detector.cpp:630-664);
+- insertion: k-th unclaimed corner → k-th free row, bounded by the live cap
+  (feature_detector.cpp:653-663, maxPatches feature_detector.h:30).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.tracker import patch_state as ps
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PolicyState:
+    """Device-resident policy state (host copies lag one window)."""
+
+    slot_birth: jax.Array  # [SLOTS] int32 detection-frame number, -1 = never
+    next_tid: jax.Array  # [] int32 next track id to allocate
+    frame_no: jax.Array  # [] int32 detection-frame counter
+
+
+def empty_state() -> PolicyState:
+    return PolicyState(
+        slot_birth=jnp.full(ps.GRAD_SLOTS, -1, jnp.int32),
+        next_tid=jnp.asarray(0, jnp.int32),
+        frame_no=jnp.asarray(0, jnp.int32),
+    )
+
+
+def slot_refcounts(table: ps.PatchTable) -> jax.Array:
+    """[SLOTS] live references per gradient slot — stateless recompute of the
+    reference's `used_` refcount (optimizer.h:51-53): a slot is referenced by
+    every live patch born on it."""
+    ref = table.alive & (table.track_id >= 0)
+    return (
+        jnp.zeros(ps.GRAD_SLOTS, jnp.int32)
+        .at[table.grad_slot]
+        .add(ref.astype(jnp.int32))
+    )
+
+
+def frame_policy(table: ps.PatchTable, state: PolicyState, corners_xy,
+                 corners_ok, *, max_patches: int, association_distance: float):
+    """The per-frame policy on device. corners_xy [C, 2] f32, corners_ok [C].
+
+    Returns (decisions dict, new_state). Decisions:
+      slot      [] int32   gradient slot for this frame
+      evict     [P] bool   patches killed by slot eviction
+      new_mask  [P] bool   rows receiving a new detection
+      new_center[P, 2] f32
+      new_tid   [P] int32  (-1 where not new)
+      n_new     [] int32
+    """
+    P = table.capacity
+    C = corners_xy.shape[0]
+    big = jnp.float32(3.4e38)
+
+    # -- gradient slot allocation / eviction ------------------------------
+    ref = slot_refcounts(table)
+    has_free = jnp.any(ref == 0)
+    first_free = jnp.argmax(ref == 0)  # first index with zero refcount
+    oldest = jnp.argmin(state.slot_birth)  # first minimum = host np.argmin
+    slot = jnp.where(has_free, first_free, oldest).astype(jnp.int32)
+    evict = (~has_free) & table.alive & (table.grad_slot == slot)
+    alive = table.alive & ~evict
+    n_live = jnp.sum(alive.astype(jnp.int32))
+
+    # -- greedy association (row order == reference list order) -----------
+    d2 = jnp.sum(
+        (corners_xy[None, :, :] - table.center[:, None, :]) ** 2, axis=-1
+    )  # [P, C]
+    d2 = jnp.where(corners_ok[None, :], d2, big)
+    thresh2 = jnp.float32(association_distance * association_distance)
+
+    def body(i, claimed):
+        di = jnp.where(claimed, big, d2[i])
+        j = jnp.argmin(di)
+        take = alive[i] & (di[j] < thresh2)
+        return claimed.at[j].set(claimed[j] | take)
+
+    claimed = jax.lax.fori_loop(0, P, body, jnp.zeros(C, bool))
+
+    # -- insertion: k-th unclaimed corner -> k-th free row ----------------
+    sel_c = corners_ok & ~claimed
+    c_rank = jnp.cumsum(sel_c.astype(jnp.int32))  # 1-based where sel_c
+    free_r = ~alive
+    r_rank = jnp.cumsum(free_r.astype(jnp.int32))
+    budget = jnp.maximum(0, max_patches - n_live)
+    k_max = jnp.minimum(budget, jnp.where(sel_c, c_rank, 0).max(initial=0))
+    match = (
+        free_r[:, None]
+        & sel_c[None, :]
+        & (r_rank[:, None] == c_rank[None, :])
+        & (r_rank[:, None] <= k_max)
+    )  # [P, C] — at most one true per row and per column
+    new_mask = jnp.any(match, axis=1)
+    new_center = jnp.einsum(
+        "pc,cd->pd", match.astype(jnp.float32), corners_xy
+    )
+    new_tid = jnp.where(
+        new_mask, state.next_tid + r_rank - 1, -1
+    ).astype(jnp.int32)
+    n_new = jnp.sum(new_mask.astype(jnp.int32))
+
+    new_state = PolicyState(
+        slot_birth=state.slot_birth.at[slot].set(state.frame_no),
+        next_tid=state.next_tid + n_new,
+        frame_no=state.frame_no + 1,
+    )
+    decisions = dict(
+        slot=slot, evict=evict, new_mask=new_mask,
+        new_center=new_center, new_tid=new_tid, n_new=n_new,
+    )
+    return decisions, new_state

@@ -385,3 +385,124 @@ class TestCompensate:
         assert active.any()
         rec = np.median(field[..., 0][active])
         assert rec == pytest.approx(0.05, abs=0.02)
+
+
+class TestDevicePolicyParity:
+    """The device-resident frame policy (tracker.policy) must match the host
+    reference policy (EventTracker._frame_policy) decision-for-decision."""
+
+    def _random_state(self, rng, n_alive=40, n_corners=60):
+        import dataclasses
+
+        from evo_tpu.tracker import policy
+        from evo_tpu.tracker.detector import EventTracker
+
+        tr = EventTracker()
+        P = ps.MAX_PATCHES
+        alive = np.zeros(P, bool)
+        alive[rng.choice(P, n_alive, replace=False)] = True
+        centers = rng.uniform(15, 160, (P, 2)).astype(np.float32)
+        track_id = np.where(alive, rng.permutation(P).astype(np.int32), -1)
+        grad_slot = rng.integers(0, 8, P).astype(np.int32)
+        tr.table = dataclasses.replace(
+            tr.table,
+            alive=jnp.asarray(alive),
+            center=jnp.asarray(centers),
+            track_id=jnp.asarray(track_id),
+            grad_slot=jnp.asarray(grad_slot),
+        )
+        # consistent host mirrors of the device policy state
+        refcount = np.zeros(ps.GRAD_SLOTS, np.int64)
+        for i in np.flatnonzero(alive):
+            refcount[grad_slot[i]] += 1
+        tr.slot_refcount = refcount
+        tr.slot_birth = np.where(
+            refcount > 0, rng.integers(0, 50, ps.GRAD_SLOTS), -1
+        ).astype(np.int64)
+        tr.num_images = 50
+        tr.next_track_id = 1000
+        pstate = policy.PolicyState(
+            slot_birth=jnp.asarray(tr.slot_birth, jnp.int32),
+            next_tid=jnp.asarray(tr.next_track_id, jnp.int32),
+            frame_no=jnp.asarray(tr.num_images, jnp.int32),
+        )
+        corners = rng.uniform(14, 165, (n_corners, 2)).astype(np.float32)
+        ok = rng.random(n_corners) < 0.9
+        mirror = dict(alive=alive, center=centers, track_id=track_id,
+                      grad_slot=grad_slot)
+        return tr, pstate, corners, ok, mirror
+
+    def _run_both(self, rng, exhaust_slots=False, **kw):
+        from evo_tpu.tracker import policy
+
+        tr, pstate, corners, ok, mirror = self._random_state(rng, **kw)
+        if exhaust_slots:
+            # every slot genuinely referenced by a live patch -> both
+            # policies must take the eviction path
+            P = ps.MAX_PATCHES
+            alive = np.ones(P, bool)
+            grad_slot = np.arange(P, dtype=np.int32) % ps.GRAD_SLOTS
+            track_id = np.arange(P, dtype=np.int32)
+            tr.table = dataclasses.replace(
+                tr.table,
+                alive=jnp.asarray(alive),
+                grad_slot=jnp.asarray(grad_slot),
+                track_id=jnp.asarray(track_id),
+            )
+            tr.slot_refcount = np.ones(ps.GRAD_SLOTS, np.int64)
+            tr.slot_birth = rng.integers(0, 50, ps.GRAD_SLOTS)
+            pstate = policy.PolicyState(
+                slot_birth=jnp.asarray(tr.slot_birth, jnp.int32),
+                next_tid=pstate.next_tid, frame_no=pstate.frame_no,
+            )
+            mirror = dict(alive=alive, center=mirror["center"],
+                          track_id=track_id, grad_slot=grad_slot)
+        p = tr.params
+        ctrl = tr._frame_policy(0, corners[ok], mirror)
+        P = ps.MAX_PATCHES
+        host = dict(
+            new_mask=ctrl[:P] != 0,
+            new_tid=ctrl[P:2 * P],
+            new_center=ctrl[2 * P:4 * P].view(np.float32).reshape(P, 2),
+            evict=ctrl[4 * P:5 * P] != 0,
+            slot=int(ctrl[5 * P]),
+        )
+        dec, new_state = policy.frame_policy(
+            tr.table, pstate, jnp.asarray(corners), jnp.asarray(ok),
+            max_patches=p.max_patches,
+            association_distance=p.association_distance,
+        )
+        return host, jax.tree.map(np.asarray, dec), new_state
+
+    def test_parity_randomized(self):
+        rng = np.random.default_rng(0)
+        for trial in range(4):
+            host, dev, _ = self._run_both(rng)
+            assert int(dev["slot"]) == host["slot"]
+            np.testing.assert_array_equal(dev["evict"], host["evict"])
+            np.testing.assert_array_equal(dev["new_mask"], host["new_mask"])
+            np.testing.assert_array_equal(dev["new_tid"], host["new_tid"])
+            np.testing.assert_allclose(
+                dev["new_center"], host["new_center"], atol=0
+            )
+
+    def test_parity_slot_exhaustion(self):
+        """When every gradient slot is referenced, both policies must evict
+        the same (oldest) slot and kill the same patches."""
+        rng = np.random.default_rng(1)
+        host, dev, new_state = self._run_both(rng, exhaust_slots=True)
+        assert int(dev["slot"]) == host["slot"]
+        np.testing.assert_array_equal(dev["evict"], host["evict"])
+        assert dev["evict"].any()  # the eviction path actually ran
+        np.testing.assert_array_equal(dev["new_mask"], host["new_mask"])
+        # state advanced: the reclaimed slot is stamped with this frame
+        sb = np.asarray(new_state.slot_birth)
+        assert sb[int(dev["slot"])] == 50
+
+    def test_live_cap_respected(self):
+        """Insertion stops at the live cap in both policies."""
+        rng = np.random.default_rng(2)
+        host, dev, _ = self._run_both(rng, n_alive=95, n_corners=80)
+        np.testing.assert_array_equal(dev["new_mask"], host["new_mask"])
+        n_after = 95 - dev["evict"].sum() + dev["new_mask"].sum()
+        assert n_after <= 100
