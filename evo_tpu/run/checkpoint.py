@@ -75,9 +75,13 @@ def state_dict(ev: Evaluator) -> dict:
 
 
 def save_checkpoint(path: str, ev: Evaluator) -> str:
-    np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
-                        **state_dict(ev))
-    return path if path.endswith(".npz") else path + ".npz"
+    import os
+
+    out = path if path.endswith(".npz") else path + ".npz"
+    parent = os.path.dirname(os.path.abspath(out))
+    os.makedirs(parent, exist_ok=True)
+    np.savez_compressed(out, **state_dict(ev))
+    return out
 
 
 def restore_into(ev: Evaluator, state: dict) -> Evaluator:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -41,6 +42,10 @@ def main(argv=None) -> int:
                     help="render trajectory plot + patch debug views")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this directory")
+    ap.add_argument("--watchdog", action="store_true",
+                    help="enable failure detection/recovery (run.watchdog)")
+    ap.add_argument("--auto-checkpoint-every", type=int, default=0,
+                    help="windows between watchdog auto-checkpoints (0=off)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -53,6 +58,7 @@ def main(argv=None) -> int:
     from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
 
     t0 = time.perf_counter()
+    os.makedirs(args.output_dir, exist_ok=True)
     dataset = Davis240cDataset(args.dataset)
     params = EvaluatorParams(
         output_dir=args.output_dir,
@@ -60,7 +66,15 @@ def main(argv=None) -> int:
         vo_experiment=args.vo_experiment,
         run_compensation=not args.no_compensation,
         compensation_mode=args.compensation_mode,
+        watchdog=args.watchdog or args.auto_checkpoint_every > 0,
     )
+    if args.auto_checkpoint_every > 0:
+        from evo_tpu.run.watchdog import WatchdogParams
+
+        params.watchdog_params = WatchdogParams(
+            auto_checkpoint_every=args.auto_checkpoint_every,
+            checkpoint_path=f"{args.output_dir}/autockpt.npz",
+        )
     if args.resume:
         from evo_tpu.run import checkpoint as ckpt
 
@@ -91,6 +105,9 @@ def main(argv=None) -> int:
             p = viz.plot_trajectories(f"{args.output_dir}/trajectory_plot.png", ev.vo)
             if p:
                 paths["trajectory_plot"] = p
+            p3 = viz.render_scene_3d(f"{args.output_dir}/scene_3d.png", ev.vo)
+            if p3:
+                paths["scene_3d"] = p3
         if ev.tracker.num_live > 0:
             paths.update(viz.save_patch_views(args.output_dir, ev.tracker))
     dt = time.perf_counter() - t0

@@ -62,6 +62,11 @@ class EvaluatorParams:
     # overlap the next window's compute. Artifacts are identical — VO and
     # the compensated image are pure consumers of the tracker state.
     pipelined: bool = True
+    # failure detection / recovery (run.watchdog): per-window invariant
+    # checks on the mirrors the pipeline already pulls, patch quarantine,
+    # optional auto-checkpointing (SURVEY §5 subsystem A3)
+    watchdog: bool = False
+    watchdog_params: object = None
     tracker: TrackerParams = dataclasses.field(default_factory=TrackerParams)
     vo: VoParams = dataclasses.field(default_factory=VoParams)
     compensate: comp.CompensateParams = dataclasses.field(
@@ -86,6 +91,11 @@ class Evaluator:
             self.vo.set_ground_truth(dataset.gt_t_us, dataset.gt_poses)
         self.image_num = 0
         self.counters = Counters()
+        self.monitor = None
+        if self.params.watchdog:
+            from evo_tpu.run.watchdog import HealthMonitor
+
+            self.monitor = HealthMonitor(self.params.watchdog_params)
         # global event buffer for whole-image compensation
         self._buf: list[np.ndarray] = []
         self._buf_count = 0
@@ -177,6 +187,8 @@ class Evaluator:
             if lms:
                 kf = Keyframe(t_us=int(t_us), landmarks=lms)
                 self.vo.new_keyframe_candidate(kf)
+        if self.monitor is not None and not self.params.vo_experiment:
+            self.monitor.after_window(self, self.tracker.last_mirror)
 
     def _live_landmarks(self, t_us: int) -> dict[int, np.ndarray]:
         if self.params.vo_experiment:
@@ -251,6 +263,8 @@ class Evaluator:
             self._pending_frame = None
             with self.counters.timed("frame_consume"):
                 mirror = self.tracker.consume_frame(t_us, handle)
+            if self.monitor is not None:
+                self.monitor.after_window(self, mirror)
             if frame_no > 2 and self.vo is not None:
                 lms = {
                     int(mirror["track_id"][i]): mirror["center"][i].astype(np.float64)

@@ -54,7 +54,11 @@ class TrackerParams:
     min_distance: float = 10.0
     association_distance: float = 5.0
     block_size: int = 3
-    max_patches: int = 100  # live cap (table capacity is ps.MAX_PATCHES)
+    max_patches: int = 100  # live cap (<= capacity)
+    # patch-table rows == gradient-frame slots. The vmapped solves always run
+    # over the FULL capacity (static shapes), so smaller deployments (or
+    # CPU-bound tests) should shrink this rather than max_patches.
+    capacity: int = ps.MAX_PATCHES
     init_num_events: int = 75
     max_num_events_to_store: int = 15_000
     # optimizer
@@ -290,13 +294,14 @@ class EventTracker:
         self.mesh = mesh
         self.height = height
         self.width = width
-        self.table = ps.empty_table()
-        self.grads = jnp.zeros((ps.GRAD_SLOTS, 2, height, width), jnp.float32)
-        self.pstate = policy.empty_state()
-        self.slot_refcount = np.zeros(ps.GRAD_SLOTS, np.int64)
+        cap = self.params.capacity
+        self.table = ps.empty_table(cap)
+        self.grads = jnp.zeros((cap, 2, height, width), jnp.float32)
+        self.pstate = policy.empty_state(cap)
+        self.slot_refcount = np.zeros(cap, np.int64)
         # detection-frame number each slot's gradients were written at
         # (-1 = never); drives oldest-first eviction and the newest-slot lookup
-        self.slot_birth = np.full(ps.GRAD_SLOTS, -1, np.int64)
+        self.slot_birth = np.full(cap, -1, np.int64)
         self._newest_slot = 0
         self.next_track_id = 0
         self.epoch_us: int | None = None
@@ -373,7 +378,8 @@ class EventTracker:
         # tracking against a corrupted gradient image. Eviction happens
         # before association so the evicted patches' corners re-enter as
         # fresh tracks this same frame.
-        evict = np.zeros(ps.MAX_PATCHES, bool)
+        P = len(alive)
+        evict = np.zeros(P, bool)
         free_slots = np.flatnonzero(self.slot_refcount == 0)
         if len(free_slots):
             slot = int(free_slots[0])
@@ -402,9 +408,9 @@ class EventTracker:
                     break
 
         # place unmatched corners into free table slots, respecting the cap
-        new_mask = np.zeros(ps.MAX_PATCHES, bool)
-        new_center = np.zeros((ps.MAX_PATCHES, 2), np.float32)
-        new_tid = np.full(ps.MAX_PATCHES, -1, np.int32)
+        new_mask = np.zeros(P, bool)
+        new_center = np.zeros((P, 2), np.float32)
+        new_tid = np.full(P, -1, np.int32)
         free_rows = np.flatnonzero(~alive)
         budget = max(0, p.max_patches - n_live)
         k = 0

@@ -45,21 +45,21 @@ class PolicyState:
     frame_no: jax.Array  # [] int32 detection-frame counter
 
 
-def empty_state() -> PolicyState:
+def empty_state(n_slots: int = ps.GRAD_SLOTS) -> PolicyState:
     return PolicyState(
-        slot_birth=jnp.full(ps.GRAD_SLOTS, -1, jnp.int32),
+        slot_birth=jnp.full(n_slots, -1, jnp.int32),
         next_tid=jnp.asarray(0, jnp.int32),
         frame_no=jnp.asarray(0, jnp.int32),
     )
 
 
-def slot_refcounts(table: ps.PatchTable) -> jax.Array:
+def slot_refcounts(table: ps.PatchTable, n_slots: int) -> jax.Array:
     """[SLOTS] live references per gradient slot — stateless recompute of the
     reference's `used_` refcount (optimizer.h:51-53): a slot is referenced by
     every live patch born on it."""
     ref = table.alive & (table.track_id >= 0)
     return (
-        jnp.zeros(ps.GRAD_SLOTS, jnp.int32)
+        jnp.zeros(n_slots, jnp.int32)
         .at[table.grad_slot]
         .add(ref.astype(jnp.int32))
     )
@@ -82,7 +82,7 @@ def frame_policy(table: ps.PatchTable, state: PolicyState, corners_xy,
     big = jnp.float32(3.4e38)
 
     # -- gradient slot allocation / eviction ------------------------------
-    ref = slot_refcounts(table)
+    ref = slot_refcounts(table, state.slot_birth.shape[0])
     has_free = jnp.any(ref == 0)
     first_free = jnp.argmax(ref == 0)  # first index with zero refcount
     oldest = jnp.argmin(state.slot_birth)  # first minimum = host np.argmin

@@ -61,6 +61,13 @@ class VoParams:
     # blocks — depth-independent f32 accumulation error on long windows
     # (solve.precision; SURVEY §7 hard part 6)
     ba_compensated: bool = False
+    # robustness gates the reference lacks (its triangulation accepts any
+    # depth, visual_odometry.cpp:343-377 — fine on its short well-conditioned
+    # sequences; on long runs one near-parallel triangulation at ~1e6 m
+    # poisons the map and the localization that follows). Units: the
+    # map/bootstrap scale (bootstrap translation is unit length).
+    max_landmark_depth: float = 1e3
+    max_pose_translation: float = 1e3
     # "cpu": run the VO geometry (RANSAC, triangulation, BA, Sim3) on the
     # host CPU jax backend. These solves are tiny (≤20 poses, hundreds of
     # landmarks) and dispatch-latency-bound: on a remote-attached TPU every
@@ -284,7 +291,17 @@ class VisualOdometryFrontEnd:
             reprojection_angle_residual(refined, _pad2(bear, b), _pad2(pts, b))
         )[:n]
         inl = r < threshold
-        match.pose = np.asarray(refined, np.float64)
+        pose_np = np.asarray(refined, np.float64)
+        # sanity gate: a localization teleporting the camera outside the
+        # map's scale is a degenerate P3P fit, not a pose — treat as failed
+        # (no reference analogue; see VoParams.max_pose_translation)
+        if not np.all(np.isfinite(pose_np)) or (
+            np.linalg.norm(pose_np[4:7]) > self.params.max_pose_translation
+        ):
+            _log.warning("localization rejected: |t|=%.3g",
+                         float(np.linalg.norm(pose_np[4:7])))
+            return
+        match.pose = pose_np
         match.inliers = [t for t, ok in zip(tracks, inl) if ok]
 
     # -- map maintenance ------------------------------------------------
@@ -329,8 +346,14 @@ class VisualOdometryFrontEnd:
                 ),
                 np.float64,
             )
+            # depth gate: near-parallel rays triangulate to ~1e6 and poison
+            # the map (see VoParams.max_landmark_depth)
+            dist = np.linalg.norm(p_w - keyframe.pose[4:7], axis=-1)
             for i, t in enumerate(tracks):
-                self.map.landmarks[t] = p_w[i]
+                if np.all(np.isfinite(p_w[i])) and (
+                    dist[i] <= self.params.max_landmark_depth
+                ):
+                    self.map.landmarks[t] = p_w[i]
 
     def _delete_landmarks(self, keyframe: Keyframe) -> None:
         for track in keyframe.landmarks:
@@ -401,10 +424,27 @@ class VisualOdometryFrontEnd:
         )
         new_poses = np.asarray(new_poses, np.float64)
         new_lms = np.asarray(new_lms, np.float64)
+        # post-solve sanity gates (production guard, see VoParams.max_*): a
+        # weakly constrained direction can let BA run a pose or landmark to
+        # ~1e4-1e8 while still reducing the robust cost; such updates are
+        # rejected (pose keeps its prior value, the landmark is archived) so
+        # one degenerate window cannot poison the map for every later one.
         for t, i in frame_idx.items():
-            self.active_frames[t].pose = new_poses[i]
+            p = new_poses[i]
+            if np.all(np.isfinite(p)) and (
+                np.linalg.norm(p[4:7]) <= self.params.max_pose_translation
+            ):
+                self.active_frames[t].pose = p
+        newest_c = self.active_frames[frames_t[-1]].pose[4:7]
         for t, i in lm_idx.items():
-            self.map.landmarks[t] = new_lms[i]
+            p = new_lms[i]
+            if np.all(np.isfinite(p)) and (
+                np.linalg.norm(p - newest_c) <= self.params.max_landmark_depth
+            ):
+                self.map.landmarks[t] = p
+            else:
+                self.stored_landmarks.append((t, self.map.landmarks.pop(t)))
+                self.map.observations.pop(t, None)
         _log.info("BA: cost %.4f -> %.4f over %d obs", float(cost0), float(cost), O)
 
     # -- GT ---------------------------------------------------------------

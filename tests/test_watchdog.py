@@ -1,0 +1,121 @@
+"""Failure-detection / recovery subsystem tests (SURVEY §5 item A3)."""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu.run.watchdog import HealthMonitor, WatchdogParams, auto_resume
+from evo_tpu.tracker.detector import EventTracker
+from evo_tpu.vo.keyframe import Keyframe
+from tests.test_run import square_dataset  # noqa: F401 (fixture)
+
+
+def _poisoned_tracker():
+    tr = EventTracker()
+    P = tr.table.capacity
+    alive = np.zeros(P, bool)
+    alive[:6] = True
+    centers = np.full((P, 2), 50.0, np.float32)
+    centers[2] = np.nan  # poisoned live patch
+    centers[4, 0] = np.inf
+    tr.table = dataclasses.replace(
+        tr.table,
+        alive=jnp.asarray(alive),
+        center=jnp.asarray(centers),
+        track_id=jnp.asarray(np.arange(P, dtype=np.int32)),
+    )
+    return tr
+
+
+class TestHealthMonitor:
+    def test_detects_and_quarantines_nan_patches(self):
+        tr = _poisoned_tracker()
+        mon = HealthMonitor()
+        mirror = dict(
+            alive=np.asarray(tr.table.alive),
+            center=np.asarray(tr.table.center),
+        )
+        bad = mon.check_mirror(mirror)
+        assert bad.sum() == 2 and bad[2] and bad[4]
+        mon.quarantine_patches(tr, bad)
+        alive = np.asarray(tr.table.alive)
+        # poisoned rows killed, healthy rows untouched
+        assert not alive[2] and not alive[4]
+        assert alive[0] and alive[1] and alive[3] and alive[5]
+        assert mon.recovered_patches == 2
+        assert mon.failures and mon.failures[0].kind == "patch_nonfinite"
+
+    def test_vo_checks_and_landmark_drop(self):
+        from evo_tpu.core.types import CalibParams
+        from evo_tpu.vo.frontend import VisualOdometryFrontEnd
+
+        calib = CalibParams(fx=100.0, fy=100.0, cx=120.0, cy=90.0,
+                            width=240, height=180)
+        vo = VisualOdometryFrontEnd(calib)
+        vo.active_frames[0] = Keyframe(t_us=0, landmarks={},
+                                       pose=np.array([1.0, 0, 0, 0, 0, 0, 0]))
+        vo.map.landmarks[7] = np.array([1.0, np.nan, 3.0])
+        vo.map.observations[7] = [0]
+        mon = HealthMonitor()
+        assert not mon.check_vo(vo)
+        dropped = mon.drop_bad_landmarks(vo)
+        assert dropped == 1 and 7 not in vo.map.landmarks
+        # healthy VO passes
+        assert mon.check_vo(vo)
+
+    def test_pipeline_recovers_from_injected_nan(self, square_dataset, tmp_path):
+        """End-to-end: poison the live table mid-run; the watchdog must
+        quarantine the rows and the run must finish with finite artifacts."""
+        from evo_tpu.io import davis
+        from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
+
+        ds = davis.Davis240cDataset(square_dataset)
+        ev = Evaluator(ds, EvaluatorParams(
+            output_dir=str(tmp_path), run_compensation=False, watchdog=True,
+        ))
+        n = 0
+        from evo_tpu.io.replay import FrameWindowIterator
+
+        for win in FrameWindowIterator(ds):
+            ev._process_window_pipelined(win)
+            n += 1
+            if n == 3:  # inject a NaN center into a live row on device
+                t = ev.tracker.table
+                centers = np.asarray(t.center).copy()
+                live = np.flatnonzero(np.asarray(t.alive))
+                if len(live):
+                    centers[live[0]] = np.nan
+                    ev.tracker.table = dataclasses.replace(
+                        t, center=jnp.asarray(centers))
+        ev.flush_pending()
+        assert ev.monitor is not None
+        assert ev.monitor.recovered_patches >= 1
+        assert any(f.kind == "patch_nonfinite" for f in ev.monitor.failures)
+        # surviving table is finite
+        m = np.asarray(ev.tracker.table.center)[np.asarray(ev.tracker.table.alive)]
+        assert np.all(np.isfinite(m))
+
+    def test_auto_checkpoint_and_resume(self, square_dataset, tmp_path):
+        from evo_tpu.io import davis
+        from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
+
+        ds = davis.Davis240cDataset(square_dataset)
+        ck = str(tmp_path / "auto.npz")
+        p = EvaluatorParams(
+            output_dir=str(tmp_path), run_compensation=False, watchdog=True,
+            watchdog_params=WatchdogParams(auto_checkpoint_every=2,
+                                           checkpoint_path=ck),
+        )
+        ev = Evaluator(ds, p)
+        ev.run(max_frames=5)
+        ev.flush_pending()
+        assert os.path.exists(ck)
+        ev2, resumed = auto_resume(
+            ck, davis.Davis240cDataset(square_dataset), p)
+        assert resumed and ev2.image_num >= 2
+        ev3, resumed3 = auto_resume(
+            str(tmp_path / "missing.npz"),
+            davis.Davis240cDataset(square_dataset), p)
+        assert not resumed3 and ev3.image_num == 0
