@@ -261,8 +261,11 @@ class Evaluator:
         if self._pending_frame is not None:
             frame_no, t_us, handle = self._pending_frame
             self._pending_frame = None
+            n0 = len(self.tracker.final_cost_log)
             with self.counters.timed("frame_consume"):
                 mirror = self.tracker.consume_frame(t_us, handle)
+            # fused-path solve logs land at consume time, not dispatch time
+            self.counters.add("solves", len(self.tracker.final_cost_log) - n0)
             if self.monitor is not None:
                 self.monitor.after_window(self, mirror)
             if frame_no > 2 and self.vo is not None:

@@ -111,6 +111,21 @@ def unpack_events(xyp, trel_us, offset_s):
     return ex, ey, et, ep, valid
 
 
+_unpack_jit = jax.jit(unpack_events)
+
+
+@jax.jit
+def _scan_packed(table: "ps.PatchTable", grads, xyp, trel_us, offset_s,
+                 latest_slot):
+    """Fused unpack + window scan: the packed wire layout is decoded on
+    device and fed straight into `align.process_window_scan` in the same
+    dispatch, so the 8 B/event upload never round-trips as unpacked f32."""
+    ex, ey, et, ep, mask = unpack_events(xyp, trel_us, offset_s)
+    return align.process_window_scan(
+        table, grads, ex, ey, et, ep, mask, grads[latest_slot]
+    )
+
+
 @partial(jax.jit, static_argnames=())
 def _compute_grads(image):
     """Log-image + Sobel/8 gradient pair, channel-major [2, H, W]
@@ -595,8 +610,8 @@ class EventTracker:
     def _process_window_device(self, t_us, x, y, pol, bounds) -> None:
         """One fused device dispatch for the whole window (lax.scan over
         sub-batches; see align.process_window_scan)."""
-        ex, ey, et, ep, mask, k = self._window_batches(t_us, x, y, pol, bounds)
-        stacked = self._dispatch_scan(ex, ey, et, ep, mask)
+        xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds)
+        stacked = self._dispatch_scan(xyp, trel, offset)
         # ONE packed pull for the whole window: per-step solve logs + the
         # post-scan table mirror for lifecycle
         pulled = fetch(dict(stacked=stacked, mirror=self._mirror_fields()))
@@ -631,8 +646,8 @@ class EventTracker:
         )
         if len(t_us):
             bounds = self._subbatch_bounds(t_us)
-            ex, ey, et, ep, mask, k = self._window_batches(t_us, x, y, pol, bounds)
-            stacked = self._dispatch_scan(ex, ey, et, ep, mask)
+            xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds)
+            stacked = self._dispatch_scan(xyp, trel, offset)
             pulled = fetch(dict(
                 stacked=stacked, mirror=self._mirror_fields(),
                 cxy=corners_xy, cok=corners_valid,
@@ -658,7 +673,12 @@ class EventTracker:
         has_events = len(t_us) > 0
         if has_events:
             bounds = self._subbatch_bounds(t_us)
-            ex, ey, et, ep, mask, k = self._window_batches(t_us, x, y, pol, bounds)
+            xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds)
+            # decode the packed wire layout on device; the unpacked arrays
+            # feed _fused_window_step's (ex, ey, et, ep, mask) inputs
+            ex, ey, et, ep, mask = _unpack_jit(
+                jnp.asarray(xyp), jnp.asarray(trel), jnp.asarray(offset)
+            )
         else:
             cap = p.sub_batch_events
             ex = ey = et = ep = np.zeros((1, cap), np.float32)
