@@ -88,7 +88,14 @@ def _track_level(img0, img1, pt0, guess, radius: int, num_iters: int):
         return v + jnp.array([dvx, dvy], v.dtype)
 
     v = jax.lax.fori_loop(0, num_iters, body, guess.astype(img0.dtype))
-    return v, ok_grad & jnp.all(jnp.isfinite(v))
+    # travel guard: the target window is anchored at pt0 + guess, so an
+    # iterate that moves more than (half − radius − 1) px beyond the guess
+    # samples clamped window edges — it could "converge" on replicated
+    # garbage while still landing inside the image (the pre-slice bilinear
+    # version sampled the full image; this restores its failure semantics)
+    slack = jnp.asarray(half - radius - 1, img0.dtype)
+    ok_travel = jnp.all(jnp.abs(v - guess.astype(img0.dtype)) <= slack)
+    return v, ok_grad & jnp.all(jnp.isfinite(v)) & ok_travel
 
 
 @partial(jax.jit, static_argnames=("num_levels", "radius", "num_iters"))

@@ -37,15 +37,20 @@ def state_dict(ev: Evaluator) -> dict:
     if tr.prev_image is not None:
         state["tracker.prev_image"] = np.asarray(tr.prev_image)
 
+    # one source of truth for track-id allocation: the host path consumes
+    # next_track_id, the fused device-policy path consumes pstate.next_tid.
+    # Whichever ran last is ahead; persist the max so a checkpoint taken
+    # from either path resumes into either path without reassigning ids.
+    unified_tid = max(tr.next_track_id, int(np.asarray(tr.pstate.next_tid)))
     meta = {
         "image_num": ev.image_num,
         "last_compensation_us": ev._last_compensation_us,
         "tracker": {
-            "next_track_id": tr.next_track_id,
+            "next_track_id": unified_tid,
             "epoch_us": tr.epoch_us,
             "num_images": tr.num_images,
             "newest_slot": tr._newest_slot,
-            "pstate_next_tid": int(np.asarray(tr.pstate.next_tid)),
+            "pstate_next_tid": unified_tid,
             "pstate_frame_no": int(np.asarray(tr.pstate.frame_no)),
             "trajectories": {str(k): v for k, v in tr.trajectories.items()},
             "final_cost_log": tr.final_cost_log,
@@ -98,18 +103,27 @@ def restore_into(ev: Evaluator, state: dict) -> Evaluator:
     if "tracker.prev_image" in state:
         tr.prev_image = jnp.asarray(state["tracker.prev_image"])
     tmeta = meta["tracker"]
-    tr.next_track_id = tmeta["next_track_id"]
+    # both allocators resume from the SAME counter (max of the two persisted
+    # values — robust to checkpoints written before the counters were
+    # unified, and to pre-round-2 checkpoints with no pstate at all, where
+    # a fresh pstate would otherwise restart ids at 0)
+    unified_tid = max(tmeta["next_track_id"], tmeta.get("pstate_next_tid", 0))
+    tr.next_track_id = unified_tid
     tr.epoch_us = tmeta["epoch_us"]
     tr.num_images = tmeta["num_images"]
+    from evo_tpu.tracker import policy as _policy
+
     if "tracker.slot_birth" in state:
         tr.slot_birth = np.asarray(state["tracker.slot_birth"]).copy()
         tr._newest_slot = tmeta["newest_slot"]
-        from evo_tpu.tracker import policy as _policy
-
         tr.pstate = _policy.PolicyState(
             slot_birth=jnp.asarray(state["tracker.pstate.slot_birth"]),
-            next_tid=jnp.asarray(tmeta["pstate_next_tid"], jnp.int32),
+            next_tid=jnp.asarray(unified_tid, jnp.int32),
             frame_no=jnp.asarray(tmeta["pstate_frame_no"], jnp.int32),
+        )
+    else:
+        tr.pstate = dataclasses.replace(
+            tr.pstate, next_tid=jnp.asarray(unified_tid, jnp.int32)
         )
     tr.trajectories = {
         int(k): [tuple(e) for e in v] for k, v in tmeta["trajectories"].items()

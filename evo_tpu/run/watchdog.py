@@ -51,19 +51,74 @@ class HealthMonitor:
         self.failures: list[FailureEvent] = []
         self.windows = 0
         self.recovered_patches = 0
+        # per-track last solve timestamp, for the monotonicity invariant
+        self._last_cur_t: dict[int, float] = {}
 
     # -- detection ---------------------------------------------------------
-    def check_mirror(self, mirror: dict) -> np.ndarray:
+    def check_mirror(self, mirror: dict, max_live: int | None = None) -> np.ndarray:
         """Validate a post-frame patch-table mirror. Returns a [P] bool mask
-        of BAD rows (empty-all-False when healthy)."""
+        of BAD rows (empty-all-False when healthy). Checks every invariant
+        the mirror's keys allow (the fused-path framelog mirror carries a
+        subset of the full host mirror):
+
+        - live centers finite;
+        - live count within the configured live cap (`max_live` =
+          tracker params.max_patches — the reference's maxPatches cap,
+          feature_detector.h:30);
+        - live rows carry a non-negative track id (insertion always
+          allocates one);
+        - grad_slot within the gradient-store range [0, P) for live rows;
+        - num_of_events positive and <= MAX_NUM_EVENTS (patch.cpp:208-212
+          clamp, plus the INIT value);
+        - per-track solve time `cur_t` non-decreasing across windows
+          (events are routed in timestamp order, so a backwards jump means
+          state corruption)."""
+        from evo_tpu.tracker import patch_state as ps
+
         alive = mirror["alive"]
         center = mirror["center"]
         bad = alive & ~np.all(np.isfinite(center), axis=-1)
         if bad.any():
             self._record("patch_nonfinite",
                          f"{int(bad.sum())} live patches with non-finite centers")
-        if int(alive.sum()) > alive.shape[0]:
-            self._record("capacity", "live count exceeds table capacity")
+        if max_live is not None and int(alive.sum()) > max_live:
+            self._record(
+                "capacity",
+                f"live count {int(alive.sum())} exceeds cap {max_live}",
+            )
+        if "track_id" in mirror:
+            bad_tid = alive & (mirror["track_id"] < 0)
+            if bad_tid.any():
+                self._record("track_id", f"{int(bad_tid.sum())} live rows "
+                             "with unallocated track ids")
+                bad = bad | bad_tid
+        if "grad_slot" in mirror:
+            gs = mirror["grad_slot"]
+            bad_slot = alive & ((gs < 0) | (gs >= alive.shape[0]))
+            if bad_slot.any():
+                self._record("grad_slot", f"{int(bad_slot.sum())} live rows "
+                             "with out-of-range gradient slots")
+                bad = bad | bad_slot
+        if "num_of_events" in mirror:
+            noe = mirror["num_of_events"]
+            bad_noe = alive & ((noe <= 0) | (noe > ps.MAX_NUM_EVENTS))
+            if bad_noe.any():
+                self._record("event_budget", f"{int(bad_noe.sum())} live rows "
+                             f"with budgets outside (0, {ps.MAX_NUM_EVENTS}]")
+                bad = bad | bad_noe
+        if "cur_t" in mirror and "track_id" in mirror:
+            cur_t = mirror["cur_t"]
+            tid = mirror["track_id"]
+            regressed = np.zeros_like(alive)
+            for i in np.flatnonzero(alive & (tid >= 0)):
+                t_prev = self._last_cur_t.get(int(tid[i]))
+                if t_prev is not None and cur_t[i] < t_prev - 1e-6:
+                    regressed[i] = True
+                self._last_cur_t[int(tid[i])] = float(cur_t[i])
+            if regressed.any():
+                self._record("time_regression", f"{int(regressed.sum())} "
+                             "tracks with backwards solve timestamps")
+                bad = bad | regressed
         return bad
 
     def check_vo(self, vo) -> bool:
@@ -114,7 +169,9 @@ class HealthMonitor:
         self.windows += 1
         p = self.params
         if mirror is not None and self.windows % p.check_every == 0:
-            bad = self.check_mirror(mirror)
+            bad = self.check_mirror(
+                mirror, max_live=evaluator.tracker.params.max_patches
+            )
             if bad.any():
                 self.quarantine_patches(evaluator.tracker, bad)
             if evaluator.vo is not None and not self.check_vo(evaluator.vo):

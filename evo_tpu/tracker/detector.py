@@ -302,6 +302,7 @@ def _fused_window_step(table: ps.PatchTable, grads, pstate: policy.PolicyState,
         new_center=decisions["new_center"],
         alive=table.alive, track_id=table.track_id,
         center=table.center, grad_slot=table.grad_slot,
+        cur_t=table.cur_t,
     )
     return table, grads, pstate, stacked, framelog
 
@@ -605,6 +606,7 @@ class EventTracker:
             alive=t.alive, initialized=t.initialized, track_id=t.track_id,
             center=t.center, ev_count=t.ev_count,
             num_of_events=t.num_of_events, grad_slot=t.grad_slot,
+            cur_t=t.cur_t,
         )
 
     def _process_window_device(self, t_us, x, y, pol, bounds) -> None:
@@ -725,8 +727,11 @@ class EventTracker:
                 tid = int(fl["new_tid"][r])
                 cx, cy = fl["new_center"][r]
                 self.trajectories[tid] = [(int(frame_t_us), float(cx), float(cy))]
+                # keep the host allocator in lockstep with the device one so
+                # both paths (and checkpoints from either) agree on the next id
+                self.next_track_id = max(self.next_track_id, tid + 1)
             mirror = {kk: fl[kk] for kk in
-                      ("alive", "track_id", "center", "grad_slot")}
+                      ("alive", "track_id", "center", "grad_slot", "cur_t")}
             self._consume_framelog(frame_t_us, mirror)
             return mirror
         mirror = handle[1].get()

@@ -182,4 +182,5 @@ def host_mirror(table: PatchTable) -> dict:
         ev_count=table.ev_count,
         num_of_events=table.num_of_events,
         grad_slot=table.grad_slot,
+        cur_t=table.cur_t,
     ))

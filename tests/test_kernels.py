@@ -238,6 +238,56 @@ class TestLK:
         _, _, status = lk.pyramidal_lk(img, img, pts, jnp.ones(1, bool))
         assert not bool(status[0])
 
+    def _blob(self, cx, cy, h=160, w=200, sigma=10.0):
+        ys, xs = np.meshgrid(np.arange(float(h)), np.arange(float(w)),
+                             indexing="ij")
+        return np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma**2)
+                      ).astype(np.float32)
+
+    def test_travel_beyond_window_slack_is_flagged(self):
+        """Boundary-motion guard (ADVICE r2): a single-level track whose
+        iterate must travel past the target-window slack (LK_WINDOW/2 −
+        radius − 1 px from the guess) samples clamped window edges — it must
+        FAIL status rather than silently return a clamped estimate. A wide
+        blob keeps the gradient basin large enough that the iterate really
+        does run toward the far target."""
+        slack = lk.LK_WINDOW // 2 - 10 - 1  # 21 px at radius=10
+        img0 = self._blob(100.0, 80.0)
+        img1 = self._blob(100.0 + slack + 8, 80.0)  # true shift 29 px
+        pts = jnp.array([[100.0, 80.0]])
+        _, flow, status = lk.pyramidal_lk(
+            jnp.asarray(img0), jnp.asarray(img1), pts, jnp.ones(1, bool),
+            num_levels=1,
+        )
+        assert not bool(status[0])
+
+    def test_travel_within_slack_still_tracks(self):
+        """Same setup with the shift inside the slack: the guard must not
+        reject healthy large-but-in-window motion."""
+        img0 = self._blob(100.0, 80.0)
+        img1 = self._blob(112.0, 80.0)  # 12 px < 21 px slack
+        pts = jnp.array([[100.0, 80.0]])
+        _, flow, status = lk.pyramidal_lk(
+            jnp.asarray(img0), jnp.asarray(img1), pts, jnp.ones(1, bool),
+            num_levels=1,
+        )
+        assert bool(status[0])
+        np.testing.assert_allclose(np.asarray(flow)[0], [12.0, 0.0], atol=0.3)
+
+    def test_fast_motion_with_pyramid_recenters(self):
+        """The pyramid guess recenters the target window per level, so the
+        same >slack motion tracks fine with 3 levels (per-level residual
+        travel stays small) — the guard only rejects per-level overruns."""
+        img0 = self._blob(100.0, 80.0)
+        img1 = self._blob(129.0, 80.0)
+        pts = jnp.array([[100.0, 80.0]])
+        _, flow, status = lk.pyramidal_lk(
+            jnp.asarray(img0), jnp.asarray(img1), pts, jnp.ones(1, bool),
+            num_levels=3,
+        )
+        assert bool(status[0])
+        np.testing.assert_allclose(np.asarray(flow)[0], [29.0, 0.0], atol=0.5)
+
 
 class TestGradients:
     def test_sobel_on_ramp(self):

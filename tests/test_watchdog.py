@@ -47,6 +47,97 @@ class TestHealthMonitor:
         assert mon.recovered_patches == 2
         assert mon.failures and mon.failures[0].kind == "patch_nonfinite"
 
+    def test_detects_capacity_breach(self):
+        """Live count above the configured cap (not the vacuous
+        array-length bound the round-2 check compared against)."""
+        P = 32
+        mirror = dict(
+            alive=np.ones(P, bool),
+            center=np.full((P, 2), 50.0, np.float32),
+        )
+        mon = HealthMonitor()
+        mon.check_mirror(mirror, max_live=10)
+        assert any(f.kind == "capacity" for f in mon.failures)
+        mon2 = HealthMonitor()
+        mon2.check_mirror(mirror, max_live=P)
+        assert not mon2.failures
+
+    def test_detects_unallocated_track_ids(self):
+        P = 8
+        tid = np.arange(P, dtype=np.int32)
+        tid[3] = -1  # live row without an allocated id
+        mirror = dict(
+            alive=np.ones(P, bool),
+            center=np.full((P, 2), 50.0, np.float32),
+            track_id=tid,
+        )
+        mon = HealthMonitor()
+        bad = mon.check_mirror(mirror)
+        assert bad[3] and bad.sum() == 1
+        assert any(f.kind == "track_id" for f in mon.failures)
+
+    def test_detects_out_of_range_grad_slot(self):
+        P = 8
+        gs = np.zeros(P, np.int32)
+        gs[1] = -2
+        gs[5] = P + 3
+        mirror = dict(
+            alive=np.ones(P, bool),
+            center=np.full((P, 2), 50.0, np.float32),
+            track_id=np.arange(P, dtype=np.int32),
+            grad_slot=gs,
+        )
+        mon = HealthMonitor()
+        bad = mon.check_mirror(mirror)
+        assert bad[1] and bad[5] and bad.sum() == 2
+        assert any(f.kind == "grad_slot" for f in mon.failures)
+
+    def test_detects_bad_event_budget(self):
+        from evo_tpu.tracker import patch_state as ps
+
+        P = 8
+        noe = np.full(P, 150, np.int32)
+        noe[2] = 0
+        noe[6] = ps.MAX_NUM_EVENTS + 50
+        mirror = dict(
+            alive=np.ones(P, bool),
+            center=np.full((P, 2), 50.0, np.float32),
+            num_of_events=noe,
+        )
+        mon = HealthMonitor()
+        bad = mon.check_mirror(mirror)
+        assert bad[2] and bad[6] and bad.sum() == 2
+        assert any(f.kind == "event_budget" for f in mon.failures)
+
+    def test_detects_time_regression(self):
+        P = 4
+        base = dict(
+            alive=np.ones(P, bool),
+            center=np.full((P, 2), 50.0, np.float32),
+            track_id=np.arange(P, dtype=np.int32),
+        )
+        mon = HealthMonitor()
+        assert not mon.check_mirror(
+            dict(base, cur_t=np.array([1.0, 1.0, 1.0, 1.0], np.float32))
+        ).any()
+        # forward time is fine
+        assert not mon.check_mirror(
+            dict(base, cur_t=np.array([2.0, 2.0, 2.0, 2.0], np.float32))
+        ).any()
+        # track 2 jumps backwards
+        bad = mon.check_mirror(
+            dict(base, cur_t=np.array([3.0, 3.0, 0.5, 3.0], np.float32))
+        )
+        assert bad[2] and bad.sum() == 1
+        assert any(f.kind == "time_regression" for f in mon.failures)
+        # a REUSED row (new track id) may carry any time without tripping
+        tid2 = np.array([0, 1, 99, 3], np.int32)
+        mon2 = HealthMonitor()
+        mon2.check_mirror(dict(base, cur_t=np.full(P, 5.0, np.float32)))
+        assert not mon2.check_mirror(
+            dict(base, track_id=tid2, cur_t=np.array([5.0, 5.0, 0.1, 5.0], np.float32))
+        ).any()
+
     def test_vo_checks_and_landmark_drop(self):
         from evo_tpu.core.types import CalibParams
         from evo_tpu.vo.frontend import VisualOdometryFrontEnd
