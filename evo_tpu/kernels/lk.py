@@ -87,7 +87,12 @@ def _track_level(img0, img1, pt0, guess, radius: int, num_iters: int):
         dvy = -(-a12 * b1 + a11 * b2) / det_safe
         return v + jnp.array([dvx, dvy], v.dtype)
 
-    v = jax.lax.fori_loop(0, num_iters, body, guess.astype(img0.dtype))
+    # seed the carry from pt0 so its varying-manual-axes type matches the
+    # body output when tracking shard-local corners inside shard_map (the
+    # window slices depend on pt0, so the refined v is varying even when the
+    # initial guess is a replicated zero)
+    v0 = guess.astype(img0.dtype) + 0.0 * pt0.astype(img0.dtype)
+    v = jax.lax.fori_loop(0, num_iters, body, v0)
     # travel guard: the target window is anchored at pt0 + guess, so an
     # iterate that moves more than (half − radius − 1) px beyond the guess
     # samples clamped window edges — it could "converge" on replicated

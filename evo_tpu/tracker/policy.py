@@ -53,6 +53,63 @@ def empty_state(n_slots: int = ps.GRAD_SLOTS) -> PolicyState:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TableView:
+    """The policy's read-only slice of the patch table — the four control
+    fields the frame decisions depend on. Tiny ([P]-sized), so under a mesh
+    every shard can afford to `all_gather` the full view and compute the
+    identical global decisions (the policy's argmin/cumsum/greedy walk are
+    table-wide and order-sensitive; computing them on a shard would change
+    association winners)."""
+
+    alive: jax.Array  # [P] bool
+    center: jax.Array  # [P, 2] f32
+    track_id: jax.Array  # [P] int32
+    grad_slot: jax.Array  # [P] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.alive.shape[0]
+
+
+def view_of(table: ps.PatchTable) -> TableView:
+    return TableView(
+        alive=table.alive, center=table.center,
+        track_id=table.track_id, grad_slot=table.grad_slot,
+    )
+
+
+def gathered_view(table, axis_names, axis_sizes) -> TableView:
+    """Full-table view from inside `shard_map` with the table's leading axis
+    sharded over `axis_names` (sizes `axis_sizes`, same order): each shard
+    scatters its rows into a zero-padded global array at its block offset and
+    one `psum` fuses them (a few KB). psum — rather than all_gather — so the
+    result is *typed* replicated (vma-empty): every decision derived from it
+    is provably identical across shards, which is what lets the policy state
+    leave the shard_map with an out_spec of P(). Block order matches the
+    PartitionSpec (axis tuple major-to-minor)."""
+    p_loc = table.alive.shape[0]
+    lin = jnp.int32(0)
+    for name, size in zip(axis_names, axis_sizes):
+        lin = lin * size + jax.lax.axis_index(name)
+    n_total = 1
+    for size in axis_sizes:
+        n_total *= size
+
+    def g(a):
+        work = a.astype(jnp.int32) if a.dtype == jnp.bool_ else a
+        full = jnp.zeros((n_total * p_loc,) + a.shape[1:], work.dtype)
+        full = jax.lax.dynamic_update_slice_in_dim(full, work, lin * p_loc, 0)
+        full = jax.lax.psum(full, axis_names)
+        return full.astype(bool) if a.dtype == jnp.bool_ else full
+
+    return TableView(
+        alive=g(table.alive), center=g(table.center),
+        track_id=g(table.track_id), grad_slot=g(table.grad_slot),
+    )
+
+
 def slot_refcounts(table: ps.PatchTable, n_slots: int) -> jax.Array:
     """[SLOTS] live references per gradient slot — stateless recompute of the
     reference's `used_` refcount (optimizer.h:51-53): a slot is referenced by
@@ -65,9 +122,11 @@ def slot_refcounts(table: ps.PatchTable, n_slots: int) -> jax.Array:
     )
 
 
-def frame_policy(table: ps.PatchTable, state: PolicyState, corners_xy,
+def frame_policy(table, state: PolicyState, corners_xy,
                  corners_ok, *, max_patches: int, association_distance: float):
-    """The per-frame policy on device. corners_xy [C, 2] f32, corners_ok [C].
+    """The per-frame policy on device. `table` is a full `ps.PatchTable` or
+    a (possibly all_gathered) `TableView` — only the four control fields are
+    read. corners_xy [C, 2] f32, corners_ok [C].
 
     Returns (decisions dict, new_state). Decisions:
       slot      [] int32   gradient slot for this frame

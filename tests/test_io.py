@@ -255,3 +255,43 @@ def test_interpolate_gt(tiny_dataset):
     exact = replay.interpolate_gt(ds.gt_t_us, ds.gt_poses, 0)
     np.testing.assert_allclose(exact[4:7], [1.0, 2.0, 3.0], atol=1e-7)
     assert replay.interpolate_gt(ds.gt_t_us, ds.gt_poses, 200000) is None
+
+
+def _load_fetch_ecd():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "fetch_ecd",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "fetch_ecd.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fetch_ecd_tool(tiny_dataset, capsys):
+    """ECD readiness tooling (tools/fetch_ecd.py): offline dry-run is a
+    no-op success, `check` validates a DAVIS240C layout through the real
+    reader, and `convert` synthesizes calib.txt / normalizes CRLF."""
+    ecd = _load_fetch_ecd()
+    assert ecd.fetch("shapes_6dof", "/tmp/nonexistent-ecd", dry_run=True) == 0
+    assert ecd.main(["fetch", "shapes_6dof", "--dry-run"]) == 0
+    assert ecd.check(tiny_dataset) == 0
+
+    # convert: CRLF normalization + calib synthesis from ECD intrinsics
+    os.remove(os.path.join(tiny_dataset, "calib.txt"))
+    ev_path = os.path.join(tiny_dataset, "events.txt")
+    with open(ev_path, "rb") as f:
+        data = f.read()
+    with open(ev_path, "wb") as f:
+        f.write(data.replace(b"\n", b"\r\n"))
+    assert ecd.convert(tiny_dataset) == 0
+    calib = davis.parse_calib(os.path.join(tiny_dataset, "calib.txt"))
+    assert calib.fx == pytest.approx(199.092366542)
+    ev = davis._parse_events_numpy(ev_path)
+    assert len(ev) == 6  # CRLF stripped
+
+    assert ecd.check(tiny_dataset) == 0
+    # broken layouts are rejected
+    os.remove(os.path.join(tiny_dataset, "images.txt"))
+    assert ecd.check(tiny_dataset, quick=True) == 1
