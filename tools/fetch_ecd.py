@@ -186,6 +186,7 @@ def check(path: str, quick: bool = False) -> int:
         # through the same code path Davis240cDataset uses
         import tempfile
 
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from evo_tpu.io import davis
 
         src = os.path.join(path, "events.txt")
