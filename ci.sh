@@ -20,6 +20,21 @@ print("native event parser:", "built" if lib is not None else "numpy fallback")
 EOF
 
 echo "== tests =="
-python -m pytest tests/ -q "$@"
+# XLA:CPU JIT-allocates code pages per compiled executable; the full suite
+# compiles enough programs to exhaust the kernel's default map budget
+# (vm.max_map_count=65530 → mmap ENOMEM → LLVM "Cannot allocate memory" →
+# segfault). Raise the budget when privileged, and run the suite in three
+# processes regardless so each stays well under the default.
+sysctl -qw vm.max_map_count=1048576 2>/dev/null || true
+if [ $# -gt 0 ]; then
+  python -m pytest tests/ -q "$@"
+else
+  # every tests/test_*.py lands in exactly one of 3 round-robin shards
+  for shard in 0 1 2; do
+    files=$(ls tests/test_*.py | awk -v s="$shard" 'NR % 3 == s')
+    # shellcheck disable=SC2086
+    python -m pytest -q $files
+  done
+fi
 
 echo "CI OK"
