@@ -62,6 +62,13 @@ class EvaluatorParams:
     # overlap the next window's compute. Artifacts are identical — VO and
     # the compensated image are pure consumers of the tracker state.
     pipelined: bool = True
+    # temporal distribution (SURVEY §2.3 item 3): buffer this many
+    # compensation windows and solve them in ONE dispatch with the window
+    # axis sharded over the mesh batch axis (dist.temporal). 0 = solve each
+    # window as it closes (the reference's per-window cadence,
+    # evaluator.cpp:36-44). Legal because compensation feeds artifacts only,
+    # never the tracker state.
+    temporal_batch: int = 0
     # failure detection / recovery (run.watchdog): per-window invariant
     # checks on the mirrors the pipeline already pulls, patch quarantine,
     # optional auto-checkpointing (SURVEY §5 subsystem A3)
@@ -106,6 +113,8 @@ class Evaluator:
         # deferred compensation handles
         self._pending_frame: tuple[int, int, object] | None = None
         self._pending_comp: list = []
+        # temporal-batch mode: buffered (x, y, t_us) compensation windows
+        self._comp_windows: list[tuple] = []
         # VO-experiment replay store: t_us -> {track_id: (x, y)}
         self._stored_tracks: dict[int, dict[int, np.ndarray]] = {}
         if self.params.vo_experiment and dataset.trajectory:
@@ -157,6 +166,16 @@ class Evaluator:
             self.compensated_image = img
             _log.info("track-field compensated %d events", len(ev))
             return
+        if self.params.temporal_batch > 0:
+            # buffer the window; solved W-at-a-time over the mesh batch
+            # axis at the next flush (dist.temporal)
+            self._comp_windows.append((
+                ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
+                ev[:, 0].astype(np.int64),
+            ))
+            if len(self._comp_windows) >= self.params.temporal_batch:
+                self._flush_temporal_batch()
+            return
         out = comp.compensate_window(
             ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
             ev[:, 0].astype(np.int64), self.params.compensate,
@@ -171,6 +190,26 @@ class Evaluator:
         self.compensated_image = img
         _log.info(
             "compensated %d events (cost %.1f -> %.1f)", len(ev), cost0, cost
+        )
+
+    def _flush_temporal_batch(self) -> None:
+        """Solve all buffered compensation windows in one dispatch, window
+        axis sharded over the mesh batch axis (dist.temporal)."""
+        from evo_tpu.dist.temporal import compensate_windows_batched
+
+        wins = self._comp_windows
+        self._comp_windows = []
+        with self.counters.timed("compensation_batched"):
+            results = compensate_windows_batched(
+                wins, self.params.compensate,
+                height=self.height, width=self.width, mesh=self.params.mesh,
+            )
+        field, img, cost, cost0 = results[-1]
+        self.motion_field = field
+        self.compensated_image = img
+        _log.info(
+            "batch-compensated %d windows (last cost %.1f -> %.1f)",
+            len(wins), cost0, cost,
         )
 
     # -- frame path ------------------------------------------------------
@@ -249,6 +288,8 @@ class Evaluator:
         image; only the newest handle is kept live and materialized at
         finish/checkpoint time), so the comp solve is pure overlapped device
         work instead of a per-window stall."""
+        if comp and self._comp_windows:
+            self._flush_temporal_batch()
         if comp and self._pending_comp:
             with self.counters.timed("compensation_consume"):
                 field, img, cost, cost0 = self._pending_comp[-1].get()

@@ -259,39 +259,32 @@ def solve_motion_field(
         cost = jnp.where(accept, cost_new, cost)
         return (v, lam, cost), None
 
-    v0 = jnp.zeros((T, 2), jnp.float32)
+    # derive the init from the tile data so its varying-manual-axes type
+    # matches the body output when this solve runs (vmapped) inside a
+    # shard_map (dist.temporal batches windows over the mesh batch axis)
+    v0 = jnp.zeros((T, 2), jnp.float32) + 0.0 * tile_data[0].ravel()[0]
     cost0 = total_cost(v0)
+    lam0 = jnp.float32(1e-4) + 0.0 * cost0
     (v, _, cost), _ = jax.lax.scan(
-        step, (v0, jnp.float32(1e-4), cost0), None, length=max_iters
+        step, (v0, lam0, cost0), None, length=max_iters
     )
     return v, cost, cost0
 
 
-def compensate_window(
+def build_tile_data(
     x: np.ndarray,
     y: np.ndarray,
     t_us: np.ndarray,
     params: CompensateParams | None = None,
     height: int = 180,
     width: int = 240,
-    mesh=None,
-    defer: bool = False,
 ):
-    """Full window compensation (host orchestration + jitted solve).
+    """Host-side tile bucketing for the contrast-max solve: bucket events by
+    tile, build per-tile padded gather arrays (the reference partitions the
+    window into 20x20 tiles the same way, feature_detector.cpp:301-356).
 
-    With `defer=True`, returns a handle whose `.get()` yields the result
-    tuple — the device→host transfer overlaps later work instead of
-    blocking this window (nothing downstream in the pipeline consumes the
-    compensated image; it feeds artifacts/visualization only).
-
-    With `mesh` (a (space, batch) jax.sharding.Mesh), the tile solve runs
-    space-sharded via `dist.tiling.sharded_tile_solve_data` — tile columns
-    sharded over the space axis, TV coupling across shard boundaries by halo
-    exchange; the result matches the single-device solve up to summation
-    order.
-
-    Returns (motion_field [TY, TX, 2], compensated_image [H, W] of counts,
-    solve_cost, initial_cost).
+    Returns (tile_data tuple for `tile_residual`, edge_idx [E, 2] int32,
+    ty, tx, tiy*tx+tix tile ids [N], t_mid).
     """
     p = params or CompensateParams()
     tx_n = width // p.tile
@@ -300,7 +293,6 @@ def compensate_window(
     n = len(x)
     t_mid = 0.5 * (float(t_us[0]) + float(t_us[-1])) if n else 0.0
 
-    # host: bucket events by tile, build per-tile padded gather arrays
     tix = np.clip(x.astype(np.int64) // p.tile, 0, tx_n - 1)
     tiy = np.clip(y.astype(np.int64) // p.tile, 0, ty_n - 1)
     tid = tiy * tx_n + tix
@@ -330,6 +322,39 @@ def compensate_window(
     active = jnp.asarray(counts > p.min_events)
     tile_data = (ex, ey, dt, jnp.asarray(valid), tlx, tly, active)
     edge_idx = jnp.asarray(_edges(ty_n, tx_n), jnp.int32)
+    return tile_data, edge_idx, ty_n, tx_n, tid, t_mid
+
+
+def compensate_window(
+    x: np.ndarray,
+    y: np.ndarray,
+    t_us: np.ndarray,
+    params: CompensateParams | None = None,
+    height: int = 180,
+    width: int = 240,
+    mesh=None,
+    defer: bool = False,
+):
+    """Full window compensation (host orchestration + jitted solve).
+
+    With `defer=True`, returns a handle whose `.get()` yields the result
+    tuple — the device→host transfer overlaps later work instead of
+    blocking this window (nothing downstream in the pipeline consumes the
+    compensated image; it feeds artifacts/visualization only).
+
+    With `mesh` (a (space, batch) jax.sharding.Mesh), the tile solve runs
+    space-sharded via `dist.tiling.sharded_tile_solve_data` — tile columns
+    sharded over the space axis, TV coupling across shard boundaries by halo
+    exchange; the result matches the single-device solve up to summation
+    order.
+
+    Returns (motion_field [TY, TX, 2], compensated_image [H, W] of counts,
+    solve_cost, initial_cost).
+    """
+    p = params or CompensateParams()
+    tile_data, edge_idx, ty_n, tx_n, tid, t_mid = build_tile_data(
+        x, y, t_us, p, height, width
+    )
 
     if mesh is not None:
         from evo_tpu.dist.tiling import sharded_tile_solve_data
@@ -353,7 +378,7 @@ def compensate_window(
     # remote-attached TPU tunnel costs ~45 ms of round-trip latency, so four
     # separate np.asarray/float() pulls would dominate the whole window.
     img = _compensated_count_splat(
-        vel, jnp.asarray(tiy * tx_n + tix, jnp.int32),
+        vel, jnp.asarray(tid, jnp.int32),
         jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
         jnp.asarray((t_mid - t_us).astype(np.float32)),
         p.scale, height, width,
