@@ -113,6 +113,160 @@ def measure_scaling(events_per_device: int = 1 << 18, height: int = 180,
     return results
 
 
+def _ready_table(rng, cap: int, height: int, width: int):
+    """A patch table with every row alive, initialized, and ready (full
+    event ring, counter past READY_COUNTER) — the worst-case solve load for
+    the window-scan scaling bench."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from evo_tpu.tracker import patch_state as ps
+
+    t = ps.empty_table(cap)
+    e = t.ev_t.shape[1]
+    cx = rng.uniform(40, width - 40, cap).astype(np.float32)
+    cy = rng.uniform(40, height - 40, cap).astype(np.float32)
+    center = np.stack([cx, cy], axis=-1)
+    ex = np.round(cx[:, None] + rng.uniform(-10, 10, (cap, e))).astype(np.float32)
+    ey = np.round(cy[:, None] + rng.uniform(-10, 10, (cap, e))).astype(np.float32)
+    return dataclasses.replace(
+        t,
+        alive=jnp.ones(cap, bool),
+        initialized=jnp.ones(cap, bool),
+        track_id=jnp.arange(cap, dtype=jnp.int32),
+        center=jnp.asarray(center),
+        init_pt=jnp.asarray(center),
+        num_of_events=jnp.full(cap, ps.MIN_NUM_EVENTS, jnp.int32),
+        counter=jnp.full(cap, ps.READY_COUNTER + 5, jnp.int32),
+        ev_t=jnp.asarray(np.sort(rng.uniform(0, 0.05, (cap, e)), axis=1), jnp.float32),
+        ev_x=jnp.asarray(ex),
+        ev_y=jnp.asarray(ey),
+        ev_p=jnp.asarray(rng.choice([-1.0, 1.0], (cap, e)), jnp.float32),
+        ev_count=jnp.full(cap, e, jnp.int32),
+        grad_slot=jnp.asarray(np.arange(cap) % 4, jnp.int32),
+    )
+
+
+def measure_scaling_pipeline(height: int = 180, width: int = 240,
+                             repeats: int = 3,
+                             patches_per_device: int = 16,
+                             events_per_window: int = 20_000,
+                             counts: tuple = (1, 2, 4, 8)):
+    """comm_efficiency sweep for the two PRODUCTION collectives beyond the
+    decode splat (VERDICT r2 item 6):
+
+    - ``window_scan``: the sharded tracker event path
+      (detector._sharded_window_scan) — patch table weak-scaled over the
+      batch axis (``patches_per_device`` ready patches per device), events
+      and the gradient store replicated. comm_efficiency =
+      t_single(n·P patches, 1 device) / t_sharded(same table, n devices).
+    - ``tile_solve``: the space-sharded contrast-max motion-field solve
+      (dist.tiling.sharded_tile_solve_data, tile=15 → 12×16 grid so the
+      column count divides 1/2/4/8) vs compensate.solve_motion_field on one
+      device — strong scaling at equal total work, so the collective cost
+      (psum'd normal system + TV halo) is the only difference.
+
+    Both follow measure_scaling's convention: ratios near/above 1 mean the
+    sharded path costs no more than one device doing all the work on the
+    same physical cores — the predictor for pod-slice scaling where shards
+    own real chips.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.dist import mesh as dmesh, tiling
+    from evo_tpu.tracker import align, compensate
+    from evo_tpu.tracker import detector as det
+
+    rng = np.random.default_rng(0)
+    all_devs = jax.devices()
+    counts = [n for n in counts if n <= len(all_devs)]
+
+    def best_time(fn):
+        fn()
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # shared inputs: one window of sub-batched events + a tiny grad store
+    k, c = 4, events_per_window // 4
+    ex = jnp.asarray(rng.uniform(0, width - 1, (k, c)), jnp.float32)
+    ey = jnp.asarray(rng.uniform(0, height - 1, (k, c)), jnp.float32)
+    et = jnp.asarray(np.sort(rng.uniform(0, 0.05, (k, c)), axis=1), jnp.float32)
+    ep = jnp.asarray(rng.choice([-1.0, 1.0], (k, c)), jnp.float32)
+    mask = jnp.ones((k, c), bool)
+    grads = jnp.asarray(rng.normal(0, 0.1, (4, 2, height, width)), jnp.float32)
+
+    scan_res: dict[int, dict] = {}
+    for n in counts:
+        m = dmesh.make_mesh(n_space=1, n_batch=n, devices=all_devs[:n])
+        cap = patches_per_device * n
+        table = _ready_table(rng, cap, height, width)
+        sharded = det._sharded_window_scan(m)
+
+        def run_sharded():
+            tbl, stacked = sharded(table, grads, ex, ey, et, ep, mask, grads[0])
+            return float(jnp.sum(stacked["cost"]))
+
+        def run_single():
+            tbl, stacked = align.process_window_scan(
+                table, grads, ex, ey, et, ep, mask, grads[0]
+            )
+            return float(jnp.sum(stacked["cost"]))
+
+        t_shard = best_time(run_sharded)
+        t_single = best_time(run_single)
+        scan_res[n] = {
+            "patches": cap,
+            "ms_sharded": round(t_shard * 1e3, 1),
+            "ms_single": round(t_single * 1e3, 1),
+            "comm_efficiency": round(t_single / t_shard, 3),
+        }
+
+    # tile solve: 12x16 grid (tile=15) so tx divides every device count
+    p = compensate.CompensateParams(tile=15, max_iters=10)
+    n_ev = 40_000
+    x = rng.uniform(0, width - 1, n_ev)
+    y = rng.uniform(0, height - 1, n_ev)
+    t_us = np.sort(rng.uniform(0, 50_000, n_ev))
+    tile_data, edge_idx, ty_n, tx_n, _, _ = compensate.build_tile_data(
+        x, y, t_us, p, height, width
+    )
+    solve_kw = dict(
+        tile=p.tile, scale=p.scale, tv_weight=p.tv_weight,
+        tv_huber=p.tv_huber, max_iters=p.max_iters, loss=p.loss,
+    )
+    tile_res: dict[int, dict] = {}
+    for n in counts:
+        m = dmesh.make_mesh(n_space=n, n_batch=1, devices=all_devs[:n])
+
+        def run_sharded():
+            vel, cost, _ = tiling.sharded_tile_solve_data(
+                m, tile_data, ty=ty_n, tx=tx_n, **solve_kw
+            )
+            return float(cost)
+
+        def run_single():
+            vel, cost, _ = compensate.solve_motion_field(
+                tile_data, edge_idx, **solve_kw
+            )
+            return float(cost)
+
+        t_shard = best_time(run_sharded)
+        t_single = best_time(run_single)
+        tile_res[n] = {
+            "tiles": ty_n * tx_n,
+            "ms_sharded": round(t_shard * 1e3, 1),
+            "ms_single": round(t_single * 1e3, 1),
+            "comm_efficiency": round(t_single / t_shard, 3),
+        }
+    return {"window_scan": scan_res, "tile_solve": tile_res}
+
+
 def write_scaling_artifact(path: str = "SCALING.json", **kwargs) -> dict:
     """Run the scaling sweep and record it (BASELINE.json north star:
     >= 80 % scaling efficiency at 2 hosts; on the 2-core CI host the
@@ -124,6 +278,7 @@ def write_scaling_artifact(path: str = "SCALING.json", **kwargs) -> dict:
     import jax
 
     res = measure_scaling(**kwargs)
+    pipe = measure_scaling_pipeline()
     artifact = {
         "backend": jax.default_backend(),
         "n_devices": len(jax.devices()),
@@ -138,6 +293,10 @@ def write_scaling_artifact(path: str = "SCALING.json", **kwargs) -> dict:
             "predictor for real pod-slice weak scaling."
         ),
         "scaling": {str(k): v for k, v in res.items()},
+        "pipeline_collectives": {
+            kernel: {str(k): v for k, v in per_n.items()}
+            for kernel, per_n in pipe.items()
+        },
     }
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
