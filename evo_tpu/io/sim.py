@@ -45,7 +45,11 @@ class SimParams:
     # "plane": one fronto-parallel textured plane;
     # "3walls": three orthogonal textured walls meeting in a corner — the
     # framework's counterpart of the reference's `simulation_3walls` scene
-    # (report §4, Tables 1-2), giving VO real depth variation.
+    # (report §4, Tables 1-2), giving VO real depth variation;
+    # "shapes": sparse high-contrast polygons on a plain wall — the ECD
+    # shapes_6dof class of scene (report §4 Tables 1-2: err 1.67 px,
+    # feature age 4.44 s), where strong isolated corners let tracks live
+    # for seconds.
     scene: str = "plane"
 
 
@@ -137,6 +141,56 @@ def render_frame_3walls(pose_w_c, intr, key, height: int, width: int,
     return img
 
 
+def _shapes_intensity(u, v, key, n_shapes: int = 12):
+    """Plane-coordinate intensity for the "shapes" scene: dark regular
+    polygons (3-6 sides, random center/size/rotation) on a light wall,
+    edges smoothed over ~1 sensor px so the DVS model fires clean edge
+    events. Polygon SDF: d = |p|·cos(fold(θ)) − r·cos(π/n)."""
+    ks = jax.random.split(key, 4)
+    centers = jax.random.uniform(ks[0], (n_shapes, 2), minval=-1.4, maxval=1.4)
+    radii = jax.random.uniform(ks[1], (n_shapes,), minval=0.15, maxval=0.4)
+    rots = jax.random.uniform(ks[2], (n_shapes,), maxval=2 * jnp.pi)
+    nsides = jax.random.randint(ks[3], (n_shapes,), 3, 7).astype(jnp.float32)
+
+    edge_w = 0.008  # ~0.8 px at the default depth/focal
+    inside = jnp.zeros_like(u)
+    for i in range(n_shapes):
+        px = u - centers[i, 0]
+        py = v - centers[i, 1]
+        an = jnp.pi / nsides[i]
+        theta = jnp.arctan2(py, px) + rots[i]
+        fold = jnp.mod(theta, 2 * an) - an
+        d = jnp.hypot(px, py) * jnp.cos(fold) - radii[i] * jnp.cos(an)
+        inside = jnp.maximum(inside, jax.nn.sigmoid(-d / edge_w))
+    return 0.92 - 0.84 * inside
+
+
+@partial(jax.jit, static_argnames=("height", "width", "cells"))
+def render_frame_shapes(pose_w_c, intr, key, height: int, width: int,
+                        plane_depth: float, cells: int):
+    """Render the shapes wall at z = plane_depth (shapes_6dof-class scene)."""
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    pix = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
+    bear_c = camera.unproject(intr, pix)
+    R = lie.quat_to_matrix(pose_w_c[0:4])
+    o = pose_w_c[4:7]
+    d = bear_c @ R.T
+    t = (plane_depth - o[2]) / jnp.where(jnp.abs(d[:, 2]) < 1e-6, 1e-6, d[:, 2])
+    hit = o[None, :] + t[:, None] * d
+    val = _shapes_intensity(hit[:, 0], hit[:, 1], key)
+    img = jnp.where(t > 0, val, 0.0).reshape(height, width)
+    return img
+
+
+_RENDERERS = {
+    "plane": render_frame,
+    "3walls": render_frame_3walls,
+    "shapes": render_frame_shapes,
+}
+
+
 class EventCameraSimulator:
     def __init__(self, params: SimParams | None = None,
                  trajectory_fn=None, calib: CalibParams | None = None):
@@ -162,9 +216,7 @@ class EventCameraSimulator:
 
     def _render(self, t: float):
         pose = jnp.asarray(self.trajectory_fn(t), jnp.float32)
-        renderer = (
-            render_frame_3walls if self.p.scene == "3walls" else render_frame
-        )
+        renderer = _RENDERERS[self.p.scene]
         return renderer(
             pose, self.intr, self.key,
             self.p.height, self.p.width, self.p.plane_depth,
@@ -178,9 +230,7 @@ class EventCameraSimulator:
         poses = jnp.asarray(
             np.stack([self.trajectory_fn(float(t)) for t in ts]), jnp.float32
         )
-        renderer = (
-            render_frame_3walls if self.p.scene == "3walls" else render_frame
-        )
+        renderer = _RENDERERS[self.p.scene]
         fn = jax.vmap(
             lambda pose: renderer(
                 pose, self.intr, self.key,

@@ -108,32 +108,48 @@ def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
     from evo_tpu.io import davis, sim
     from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
 
-    # reference rows: (tracker mean err px, feature age s) per scene
+    # reference rows: (tracker mean err px, feature age s) per scene.
+    # The shapes row runs the reference's feature-age protocol — detection
+    # frozen after 2 frames, tracks followed by events until lost
+    # (trackerExperiment, evaluator.cpp:56-62; report §4.1) — on a long
+    # sequence, since mean age is bounded above by sequence length.
     reference = {
-        "plane": {"note": "closest published analogue: shapes_6dof",
-                  "tracker_err_px": 1.67, "feature_age_s": 4.44},
+        "plane": {"note": "closest published analogue: poster_6dof (dense "
+                          "texture); err row Table 1",
+                  "tracker_err_px": 1.69, "feature_age_s": 5.56},
         "3walls": {"note": "simulation_3walls, report Tables 1-2",
                    "tracker_err_px": 1.17, "feature_age_s": 0.5},
+        "shapes": {"note": "shapes_6dof-class scene, report Tables 1-2; "
+                           "feature-age protocol (trackerExperiment)",
+                   "tracker_err_px": 1.67, "feature_age_s": 4.44},
+    }
+    configs = {
+        "plane": dict(duration_s=duration_s, tracker_experiment=False),
+        "3walls": dict(duration_s=duration_s, tracker_experiment=False),
+        "shapes": dict(duration_s=max(6.0, duration_s),
+                       tracker_experiment=True),
     }
     results = {}
-    for scene in ("plane", "3walls"):
+    for scene in ("plane", "3walls", "shapes"):
+        cfg = configs[scene]
         root = os.path.join(tempfile.gettempdir(), f"evo_quality_{scene}")
         marker = os.path.join(root, "events.txt")
         if not (os.path.exists(marker) and os.path.getsize(marker) > 0):
             s = sim.EventCameraSimulator(sim.SimParams(
-                duration_s=duration_s, fps=fps, scene=scene, seed=1,
+                duration_s=cfg["duration_s"], fps=fps, scene=scene, seed=1,
             ))
             sim.write_dataset(root, s.generate())
         ds = davis.Davis240cDataset(root)
         os.makedirs(out_dir, exist_ok=True)
         ev = Evaluator(ds, EvaluatorParams(
             output_dir=out_dir, run_compensation=False,
+            tracker_experiment=cfg["tracker_experiment"],
         ))
         ev.run()
         ev.flush_pending()
         q = evaluate_tracker(
             ev.tracker.trajectories, ds.gt_t_us, ds.gt_poses, ds.calib,
-            plane_depth=2.0, scene=scene,
+            plane_depth=2.0, scene="plane" if scene == "shapes" else scene,
         )
         row = {
             "tracker_err_px": round(q.mean_distance_error_px, 3),
