@@ -246,13 +246,18 @@ class Evaluator:
 
     # -- pipelined drive ---------------------------------------------------
     def _process_window_pipelined(self, win) -> None:
-        """One frame window with a single synchronous pull: scan + frame
-        analysis dispatched together; the post-frame state / VO keyframe /
-        compensation readback of the PREVIOUS window were flushed just
-        before, so their transfers overlapped this window's host+device
-        work."""
+        """One frame window with a single synchronous pull, DISPATCH-FIRST:
+        this window's fused step is dispatched before the previous window's
+        results are consumed, so the device computes window k while the host
+        runs VO/bookkeeping for k−1 — consume-then-dispatch would idle the
+        device through the whole host phase and then stall the host a full
+        tunnel round trip on the fresh dispatch. Exception: with the
+        watchdog enabled, consume runs FIRST so a quarantine/recovery
+        mutation of the device table cannot race a dispatch chained on the
+        pre-recovery table."""
         ev = win.events
-        self.flush_pending(comp=False)
+        if self.monitor is not None:
+            self.flush_pending(comp=False)
         self.counters.add("events", len(ev.t_us))
         self.counters.add("frames")
         n0 = len(self.tracker.final_cost_log)
@@ -263,7 +268,11 @@ class Evaluator:
             )
         self.counters.add("solves", len(self.tracker.final_cost_log) - n0)
         self.image_num += 1
-        self._pending_frame = (self.image_num, t_us, handle)
+        pending = (self.image_num, t_us, handle)
+        if self.monitor is None:
+            # device is now busy with window k; consume k−1 under it
+            self.flush_pending(comp=False)
+        self._pending_frame = pending
         # compensation: dispatch now, read back at the next flush
         if self.params.run_compensation and len(ev.t_us):
             if self._last_compensation_us is None:

@@ -118,8 +118,8 @@ def ba_solve(
         jnp.zeros(L, dtype).at[obs_lm].add(wmask) > 0
     )  # padding landmarks stay put
 
-    def step(state, _):
-        poses, landmarks, lam, cost = state
+    def step(state):
+        poses, landmarks, lam, cost, it, done = state
         r, Jp, Jl, w = linearize(poses, landmarks)
         wr = r * w[:, None]  # weighted residuals
         # block assembly via scatter-add (optionally depth-error-free)
@@ -175,13 +175,24 @@ def ba_solve(
         lms_new = landmarks + dl
         cost_new = robust_cost(poses_new, lms_new)
         accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+        # Ceres-style early termination (function_tolerance 1e-6,
+        # Solver::Options default): an accepted step that no longer moves
+        # the cost, or damping grown past any useful scale (every recent
+        # step rejected), ends the solve — the reference's <=50 iterations
+        # is a CAP, Ceres typically stops after a handful, and a fixed-trip
+        # scan was paying all 50 every window.
+        rel_decrease = (cost - cost_new) / jnp.maximum(cost, 1e-12)
+        done = (accept & (rel_decrease < 1e-6)) | (lam > 1e6)
         poses = jnp.where(accept, poses_new, poses)
         landmarks = jnp.where(accept, lms_new, landmarks)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
         cost = jnp.where(accept, cost_new, cost)
-        return (poses, landmarks, lam, cost), None
+        return poses, landmarks, lam, cost, it + 1, done
 
     cost0 = robust_cost(poses, landmarks)
-    init = (poses, landmarks, jnp.asarray(1e-4, dtype), cost0)
-    (poses, landmarks, _, cost), _ = jax.lax.scan(step, init, None, length=num_iters)
+    init = (poses, landmarks, jnp.asarray(1e-4, dtype), cost0,
+            jnp.int32(0), jnp.asarray(False))
+    poses, landmarks, _, cost, _, _ = jax.lax.while_loop(
+        lambda s: (s[4] < num_iters) & ~s[5], step, init
+    )
     return poses, landmarks, cost, cost0
