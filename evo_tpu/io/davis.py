@@ -141,13 +141,17 @@ def parse_images(path: str, load_pixels: bool = True):
     return t_us, [load_image(p) for p in entries]
 
 
-def load_image(path: str) -> np.ndarray:
-    """Load a grayscale image as float32 [H, W] in [0, 1] (PIL; ingestion only)."""
+def load_image_u8(path: str) -> np.ndarray:
+    """Load a grayscale image as raw uint8 [H, W] (PIL; ingestion only)."""
     from PIL import Image
 
     with Image.open(path) as im:
-        arr = np.asarray(im.convert("L"), np.float32) / 255.0
-    return arr
+        return np.asarray(im.convert("L"), np.uint8)
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load a grayscale image as float32 [H, W] in [0, 1] (PIL; ingestion only)."""
+    return load_image_u8(path).astype(np.float32) / 255.0
 
 
 def parse_groundtruth(path: str):
@@ -234,10 +238,16 @@ class Davis240cDataset:
     def num_images(self) -> int:
         return len(self._image_paths)
 
-    def image(self, idx: int) -> np.ndarray:
+    def image_u8(self, idx: int) -> np.ndarray:
+        """Raw uint8 frame — the wire format for device upload (4x fewer
+        bytes through a remote-TPU tunnel than f32; the tracker normalizes
+        to [0, 1] on device with the same k/255 f32 arithmetic)."""
         if idx not in self._image_cache:
-            self._image_cache[idx] = load_image(self._image_paths[idx])
+            self._image_cache[idx] = load_image_u8(self._image_paths[idx])
         return self._image_cache[idx]
+
+    def image(self, idx: int) -> np.ndarray:
+        return self.image_u8(idx).astype(np.float32) / 255.0
 
     def get_events(self, start: int = 0, max_count: int = EVENT_CHUNK) -> EventArrays:
         """Chunked event access (the reference's resumable cursor semantics)."""

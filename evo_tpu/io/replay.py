@@ -193,7 +193,9 @@ class FrameWindowIterator:
             t_start_us=t_start,
             t_end_us=t_end,
             events=ds.events.slice(lo, hi),
-            image=ds.image(k) if self.load_images else None,
+            # raw u8: the tracker normalizes on device — a quarter of the
+            # f32 upload bytes per window on a remote-attached TPU
+            image=ds.image_u8(k) if self.load_images else None,
             image_t_us=t_end,
         )
 

@@ -26,6 +26,7 @@ _TABLE_FIELDS = [f.name for f in dataclasses.fields(ps.PatchTable)]
 
 def state_dict(ev: Evaluator) -> dict:
     """Extract the full pipeline state as plain numpy/JSON-able data."""
+    ev.sync_vo()  # drain the async-VO queue before snapshotting VO state
     tr = ev.tracker
     state: dict = {}
     for name in _TABLE_FIELDS:

@@ -62,6 +62,24 @@ class EvaluatorParams:
     # overlap the next window's compute. Artifacts are identical — VO and
     # the compensated image are pure consumers of the tracker state.
     pipelined: bool = True
+    # max frame windows in flight on the device before the host consumes
+    # the older half of them in ONE packed fetch. A device->host pull
+    # through a remote-TPU tunnel costs a fixed ~66 ms round trip
+    # regardless of payload, so per-window pulls alone cap the pipeline
+    # below real time; batching depth/2 windows per pull amortizes the
+    # round trip to ~66/(depth/2) ms per window. Host bookkeeping and VO
+    # still consume windows strictly in order (VO lags at most `depth`
+    # windows, exactly like the reference's decoupled evaluator loop).
+    pipeline_depth: int = 8
+    # run VO keyframe processing on a worker thread (pipelined mode only):
+    # VO state is independent of the tracker (it only consumes keyframe
+    # snapshots), its solves run on the host CPU backend (VoParams.
+    # geometry_backend) and release the GIL, and the tracker path is mostly
+    # device/tunnel waits — so the window wall-time becomes
+    # max(tracker, VO) instead of their sum. Keyframes are processed in
+    # order on one thread, so results are identical to the inline path.
+    # Disabled under the watchdog (it inspects VO state synchronously).
+    async_vo: bool = True
     # temporal distribution (SURVEY §2.3 item 3): buffer this many
     # compensation windows and solve them in ONE dispatch with the window
     # axis sharded over the mesh batch axis (dist.temporal). 0 = solve each
@@ -109,12 +127,17 @@ class Evaluator:
         self._last_compensation_us: int | None = None
         self.compensated_image: np.ndarray | None = None
         self.motion_field: np.ndarray | None = None
-        # pipelined-mode pending work: (frame_no, t_us, framelog handle) and
-        # deferred compensation handles
-        self._pending_frame: tuple[int, int, object] | None = None
+        # pipelined-mode pending work: FIFO of (frame_no, t_us, framelog
+        # handle) up to pipeline_depth deep, plus deferred compensation
+        # handles
+        self._pending_frames: list = []
         self._pending_comp: list = []
         # temporal-batch mode: buffered (x, y, t_us) compensation windows
         self._comp_windows: list[tuple] = []
+        # async-VO worker state (see EvaluatorParams.async_vo)
+        self._vo_queue = None
+        self._vo_thread = None
+        self._vo_error: BaseException | None = None
         # VO-experiment replay store: t_us -> {track_id: (x, y)}
         self._stored_tracks: dict[int, dict[int, np.ndarray]] = {}
         if self.params.vo_experiment and dataset.trajectory:
@@ -268,11 +291,15 @@ class Evaluator:
             )
         self.counters.add("solves", len(self.tracker.final_cost_log) - n0)
         self.image_num += 1
-        pending = (self.image_num, t_us, handle)
+        self._pending_frames.append((self.image_num, t_us, handle))
         if self.monitor is None:
-            # device is now busy with window k; consume k−1 under it
-            self.flush_pending(comp=False)
-        self._pending_frame = pending
+            # device is busy with window k; once the in-flight queue
+            # exceeds the depth, consume the older HALF in one packed
+            # fetch — batching amortizes the fixed ~66 ms tunnel round
+            # trip over several windows (strictly in order)
+            depth = max(1, self.params.pipeline_depth)
+            if len(self._pending_frames) > depth:
+                self._consume_frames(max(1, depth // 2))
         # compensation: dispatch now, read back at the next flush
         if self.params.run_compensation and len(ev.t_us):
             if self._last_compensation_us is None:
@@ -308,14 +335,23 @@ class Evaluator:
             self._pending_comp = []
         elif len(self._pending_comp) > 1:
             self._pending_comp = self._pending_comp[-1:]
-        if self._pending_frame is not None:
-            frame_no, t_us, handle = self._pending_frame
-            self._pending_frame = None
-            n0 = len(self.tracker.final_cost_log)
-            with self.counters.timed("frame_consume"):
-                mirror = self.tracker.consume_frame(t_us, handle)
-            # fused-path solve logs land at consume time, not dispatch time
-            self.counters.add("solves", len(self.tracker.final_cost_log) - n0)
+        if self._pending_frames:
+            self._consume_frames(len(self._pending_frames))
+
+    def _consume_frames(self, n: int) -> None:
+        """Consume the n oldest in-flight frame windows — ONE packed
+        device->host fetch for all of them (detector.consume_frames), then
+        per-window bookkeeping, watchdog check, and VO keyframes in order."""
+        batch = self._pending_frames[:n]
+        self._pending_frames = self._pending_frames[n:]
+        n0 = len(self.tracker.final_cost_log)
+        with self.counters.timed("frame_consume"):
+            mirrors = self.tracker.consume_frames(
+                [(t_us, handle) for (_, t_us, handle) in batch]
+            )
+        # fused-path solve logs land at consume time, not dispatch time
+        self.counters.add("solves", len(self.tracker.final_cost_log) - n0)
+        for (frame_no, t_us, _), mirror in zip(batch, mirrors):
             if self.monitor is not None:
                 self.monitor.after_window(self, mirror)
             if frame_no > 2 and self.vo is not None:
@@ -324,10 +360,55 @@ class Evaluator:
                     for i in np.flatnonzero(mirror["alive"])
                 }
                 if lms:
-                    with self.counters.timed("vo"):
-                        self.vo.new_keyframe_candidate(
-                            Keyframe(t_us=int(t_us), landmarks=lms)
-                        )
+                    self._vo_submit(int(t_us), lms)
+
+    def _vo_submit(self, t_us: int, lms: dict) -> None:
+        """Process a keyframe candidate — inline, or on the VO worker thread
+        (EvaluatorParams.async_vo) so VO's host-CPU solves overlap the next
+        windows' device work."""
+        if self._vo_error is not None:
+            err, self._vo_error = self._vo_error, None
+            raise err
+        if not self.params.async_vo or self.monitor is not None:
+            with self.counters.timed("vo"):
+                self.vo.new_keyframe_candidate(Keyframe(t_us=t_us, landmarks=lms))
+            return
+        if self._vo_thread is None:
+            import queue
+            import threading
+
+            self._vo_queue = queue.Queue()
+
+            def worker():
+                while True:
+                    item = self._vo_queue.get()
+                    try:
+                        if item is None:
+                            return
+                        with self.counters.timed("vo"):
+                            self.vo.new_keyframe_candidate(
+                                Keyframe(t_us=item[0], landmarks=item[1])
+                            )
+                    except BaseException as e:  # surfaced at sync_vo/submit
+                        self._vo_error = e
+                    finally:
+                        self._vo_queue.task_done()
+
+            self._vo_thread = threading.Thread(
+                target=worker, daemon=True, name="evo-vo"
+            )
+            self._vo_thread.start()
+        self._vo_queue.put((t_us, lms))
+
+    def sync_vo(self) -> None:
+        """Block until the VO worker has drained its keyframe queue (no-op
+        inline). Must run before reading VO state (artifacts, ATE,
+        checkpoints)."""
+        if self._vo_queue is not None:
+            self._vo_queue.join()
+        if self._vo_error is not None:
+            err, self._vo_error = self._vo_error, None
+            raise err
 
     # -- drive -----------------------------------------------------------
     def run(self, max_frames: int | None = None, start_frame: int = 0) -> None:
@@ -356,10 +437,12 @@ class Evaluator:
             self.process_image(win.image_t_us, win.image)
         if pipelined:
             self.flush_pending()
+            self.sync_vo()
 
     def finish(self) -> dict[str, str]:
         """Write all artifacts; returns {name: path}."""
         self.flush_pending()
+        self.sync_vo()
         out = {}
         out["trajectory"] = artifacts.save_features_trajectory(
             self.params.output_dir, self.tracker.trajectories

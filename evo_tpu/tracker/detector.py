@@ -92,6 +92,11 @@ def _as_f32_image(img):
     return img
 
 
+@jax.jit
+def _as_f32_jit(img):
+    return _as_f32_image(img)
+
+
 # packed event layout for host->device upload: x (11 bits) | y << 11
 # (11 bits) | polarity-positive << 22, -1 = padding. 8 B/event on the wire
 # (two i32 words incl. the relative timestamp) instead of 20 (4 f32 fields
@@ -465,7 +470,7 @@ class EventTracker:
         """Per-frame path (`FeatureDetector::newImage`)."""
         p = self.params
         t_rel = self._rel(t_us)
-        img = jnp.asarray(image, jnp.float32)
+        img = _as_f32_jit(jnp.asarray(image))
         corners_xy, corners_valid, new_grad = _frame_analyze(
             img,
             max_corners=p.max_patches,
@@ -726,7 +731,7 @@ class EventTracker:
         Returns (frame_t_us, handle); pass both to `consume_frame`."""
         p = self.params
         self._rel(img_t_us if len(t_us) == 0 else int(t_us[0]))
-        img = jnp.asarray(image, jnp.float32)
+        img = _as_f32_jit(jnp.asarray(image))
         if p.device_policy:
             return self._process_frame_window_fused(t_us, x, y, pol, img_t_us, img)
         corners_xy, corners_valid, new_grad = _frame_analyze(
@@ -811,35 +816,67 @@ class EventTracker:
         out = dict(framelog=framelog)
         if stacked is not None:
             out["stacked"] = stacked
-        return int(img_t_us), ("fused", fetch_async(out), k)
+        # the DEVICE tree is returned un-fetched: every device->host pull
+        # through a remote-TPU tunnel costs a fixed ~66 ms round trip
+        # regardless of size, so the consumer batches SEVERAL windows'
+        # trees into one packed fetch (consume_frames) instead of paying
+        # one round trip per window
+        return int(img_t_us), ("fused_dev", out, k)
+
+    def consume_frames(self, items: list) -> list:
+        """Consume several `process_frame_window` handles with ONE packed
+        device->host transfer (the per-pull tunnel round trip dominates the
+        whole window at production rates). `items`: [(frame_t_us, handle)]
+        in dispatch order. Returns the per-window mirrors."""
+        dev = {
+            str(i): h[1] for i, (_, h) in enumerate(items)
+            if h[0] == "fused_dev"
+        }
+        pulled_all = fetch(dev) if dev else {}
+        mirrors = []
+        for i, (t_us, h) in enumerate(items):
+            if h[0] == "fused_dev":
+                mirrors.append(
+                    self._consume_fused_pulled(t_us, pulled_all[str(i)], h[2])
+                )
+            else:
+                mirrors.append(self.consume_frame(t_us, h))
+        return mirrors
 
     def consume_frame(self, frame_t_us: int, handle) -> dict:
         """Block on a `process_frame_window` handle (usually already landed)
         and apply the deferred host bookkeeping; returns the post-frame
         mirror (the keyframe input for VO)."""
+        if handle[0] == "fused_dev":
+            _, tree, k = handle
+            return self._consume_fused_pulled(frame_t_us, fetch(tree), k)
         if handle[0] == "fused":
             _, h, k = handle
             pulled = h.get()
-            if "stacked" in pulled:
-                self._log_scan(pulled["stacked"], k)
-            fl = pulled["framelog"]
-            # archive patches evicted by slot reclamation (their rows may
-            # have been reused for new detections in the same frame)
-            for tid in fl["evict_tid"][fl["evict_tid"] >= 0]:
-                self.archived_tracks.add(int(tid))
-            # seed trajectories of this frame's new detections
-            for r in np.flatnonzero(fl["new_mask"]):
-                tid = int(fl["new_tid"][r])
-                cx, cy = fl["new_center"][r]
-                self.trajectories[tid] = [(int(frame_t_us), float(cx), float(cy))]
-                # keep the host allocator in lockstep with the device one so
-                # both paths (and checkpoints from either) agree on the next id
-                self.next_track_id = max(self.next_track_id, tid + 1)
-            mirror = {kk: fl[kk] for kk in
-                      ("alive", "track_id", "center", "grad_slot", "cur_t")}
-            self._consume_framelog(frame_t_us, mirror)
-            return mirror
+            return self._consume_fused_pulled(frame_t_us, pulled, k)
         mirror = handle[1].get()
+        self._consume_framelog(frame_t_us, mirror)
+        return mirror
+
+    def _consume_fused_pulled(self, frame_t_us: int, pulled: dict, k: int) -> dict:
+        """Host bookkeeping for one fused window's pulled log tree."""
+        if "stacked" in pulled:
+            self._log_scan(pulled["stacked"], k)
+        fl = pulled["framelog"]
+        # archive patches evicted by slot reclamation (their rows may
+        # have been reused for new detections in the same frame)
+        for tid in fl["evict_tid"][fl["evict_tid"] >= 0]:
+            self.archived_tracks.add(int(tid))
+        # seed trajectories of this frame's new detections
+        for r in np.flatnonzero(fl["new_mask"]):
+            tid = int(fl["new_tid"][r])
+            cx, cy = fl["new_center"][r]
+            self.trajectories[tid] = [(int(frame_t_us), float(cx), float(cy))]
+            # keep the host allocator in lockstep with the device one so
+            # both paths (and checkpoints from either) agree on the next id
+            self.next_track_id = max(self.next_track_id, tid + 1)
+        mirror = {kk: fl[kk] for kk in
+                  ("alive", "track_id", "center", "grad_slot", "cur_t")}
         self._consume_framelog(frame_t_us, mirror)
         return mirror
 

@@ -107,12 +107,17 @@ class TestEvaluator:
         from evo_tpu.tracker.compensate import CompensateParams
 
         outs = {}
-        for name, pipe in (("sync", False), ("pipe", True)):
+        # depth2 forces the mid-stream batched consume (consume_frames packs
+        # several windows into one fetch) within this short sequence; depth8
+        # (the default) drains only at flush — both must match sync exactly
+        for name, pipe, depth in (
+            ("sync", False, 8), ("pipe", True, 8), ("depth2", True, 2),
+        ):
             d = tmp_path / name
             d.mkdir()
             ds = davis.Davis240cDataset(square_dataset)
             params = EvaluatorParams(
-                output_dir=str(d), pipelined=pipe,
+                output_dir=str(d), pipelined=pipe, pipeline_depth=depth,
                 compensation_events=4000,
                 compensate=CompensateParams(max_iters=4, events_per_tile_cap=512),
             )
@@ -120,17 +125,21 @@ class TestEvaluator:
             ev.run(max_frames=5)
             outs[name] = (ev, ev.finish())
         t_sync = davis.parse_trajectory(outs["sync"][1]["trajectory"])
-        t_pipe = davis.parse_trajectory(outs["pipe"][1]["trajectory"])
-        assert set(t_sync) == set(t_pipe)
-        for tid in t_sync:
-            np.testing.assert_array_equal(t_sync[tid][0], t_pipe[tid][0])
-            np.testing.assert_allclose(t_sync[tid][1], t_pipe[tid][1], atol=1e-4)
-        np.testing.assert_allclose(
-            outs["pipe"][0].motion_field, outs["sync"][0].motion_field, atol=1e-5
-        )
         v_s = np.loadtxt(outs["sync"][1]["vo_trajectory"])
-        v_p = np.loadtxt(outs["pipe"][1]["vo_trajectory"])
-        np.testing.assert_allclose(v_p, v_s, atol=1e-4)
+        for name in ("pipe", "depth2"):
+            t_pipe = davis.parse_trajectory(outs[name][1]["trajectory"])
+            assert set(t_sync) == set(t_pipe)
+            for tid in t_sync:
+                np.testing.assert_array_equal(t_sync[tid][0], t_pipe[tid][0])
+                np.testing.assert_allclose(
+                    t_sync[tid][1], t_pipe[tid][1], atol=1e-4
+                )
+            np.testing.assert_allclose(
+                outs[name][0].motion_field, outs["sync"][0].motion_field,
+                atol=1e-5,
+            )
+            v_p = np.loadtxt(outs[name][1]["vo_trajectory"])
+            np.testing.assert_allclose(v_p, v_s, atol=1e-4)
 
     def test_compensation_runs(self, square_dataset, tmp_path):
         from evo_tpu.tracker.compensate import CompensateParams

@@ -306,6 +306,27 @@ class TestDetector:
         # all patches uninitialized until the 2nd frame's KLT
         assert int(np.asarray(tr.table.initialized).sum()) == 0
 
+    def test_u8_image_matches_f32(self):
+        """Frames uploaded as raw uint8 (the wire format — 4x fewer bytes
+        through a remote-TPU tunnel) must normalize on device to the same
+        [0, 1] values the host loader produces (io.davis.load_image's k/255
+        in f32; XLA may fuse /255 into a reciprocal multiply — 1 ulp), and
+        the tracker must accept both dtypes end to end."""
+        rng = np.random.default_rng(7)
+        img_u8 = rng.integers(0, 256, (180, 240), dtype=np.uint8)
+        host = img_u8.astype(np.float32) / 255.0
+        dev = np.asarray(detector._as_f32_jit(jnp.asarray(img_u8)))
+        assert dev.dtype == np.float32
+        np.testing.assert_allclose(dev, host, atol=1e-7)
+        # end-to-end: the u8 path runs and detects the same corner COUNT as
+        # the f32 path (exact per-corner equality is tie-break fragile:
+        # 1-ulp normalization differences can reorder equal Harris scores)
+        tr8 = detector.EventTracker()
+        tr8.new_image(0, img_u8)
+        trf = detector.EventTracker()
+        trf.new_image(0, host)
+        assert tr8.num_live == trf.num_live
+
     def test_association_continues_tracks(self):
         tr = detector.EventTracker()
         tr.new_image(0, self._squares_frame())
