@@ -197,58 +197,68 @@ def lm_solve(
         )  # [R, T]
         return r, J
 
-    def step(state, _):
-        x, lam, cost, n_acc = state
-        r, J = linearize(x)
+    def normal_eq(r, J):
+        """(A, g, cost) of the weighted normal equations at a linearization."""
         w = weights(r)  # [R / block]
         wr = jnp.repeat(w, block_size)  # per-residual weights
         JtW = J.T * wr[None, :]
-        A = JtW @ J  # [T, T]
-        g = JtW @ r  # [T]
+        return JtW @ J, JtW @ r, robust_cost(r)
+
+    # Deferred-accept LM: each iteration runs exactly ONE linearization — at
+    # the candidate point — and keeps the BEST point's tiny (A [T,T], g [T])
+    # system to re-solve with a larger lambda on rejection. The classic loop
+    # (linearize at current x, then a separate residual eval at x_new for
+    # accept/reject) pays linearize + residual per iteration; for sampling
+    # residuals like the patch alignment, the residual eval alone is ~half a
+    # linearize of MXU/VPU work. Results are identical: a rejected step
+    # re-solves the same normal equations the classic loop would rebuild.
+    def step(state, _):
+        x, A, g, lam, cost, n_acc = state
         diag = jnp.clip(jnp.diag(A), 1e-8, None)
-        A_damped = A + lam * jnp.diag(diag)
-        delta = -_solve_spd(A_damped, g)
+        delta = -_solve_spd(A + lam * jnp.diag(diag), g)
         bad = ~jnp.all(jnp.isfinite(delta))
         delta = jnp.where(bad, jnp.zeros_like(delta), delta)
         if max_step is not None:
             dn = jnp.linalg.norm(delta)
             delta = delta * jnp.minimum(1.0, max_step / jnp.maximum(dn, 1e-12))
         x_new = retract(x, delta)
-        cost_new = robust_cost(residual_fn(x_new, data))
+        r_new, J_new = linearize(x_new)
+        A_new, g_new, cost_new = normal_eq(r_new, J_new)
         accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
-        x_out = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, b, a), x, x_new
-        )
+        sel = lambda a, b: jnp.where(accept, b, a)
+        x_out = jax.tree_util.tree_map(sel, x, x_new)
         lam_out = jnp.clip(
             jnp.where(accept, lam * lambda_down, lam * lambda_up),
             min_lambda, max_lambda,
         )
-        cost_out = jnp.where(accept, cost_new, cost)
-        return (x_out, lam_out, cost_out, n_acc + accept.astype(jnp.int32)), None
+        out = (x_out, sel(A, A_new), sel(g, g_new), lam_out,
+               sel(cost, cost_new), n_acc + accept.astype(jnp.int32))
+        return out, None
 
-    r0 = residual_fn(x0, data)
-    cost0 = robust_cost(r0)
+    r0, J0 = linearize(x0)
+    A0, g0, cost0 = normal_eq(r0, J0)
     # derive constants from cost0 so their varying-manual-axes types match
     # the loop-carried outputs under shard_map
     zero_like_cost = cost0 * 0
     init = (
         x0,
+        A0,
+        g0,
         jnp.asarray(init_lambda, r0.dtype) + zero_like_cost,
         cost0,
         zero_like_cost.astype(jnp.int32),
     )
-    (x, lam, cost, n_acc), _ = jax.lax.scan(step, init, None, length=num_iters)
+    (x, A, g, lam, cost, n_acc), _ = jax.lax.scan(
+        step, init, None, length=num_iters
+    )
 
-    r_final, J_final = linearize(x)
-    w = jnp.repeat(weights(r_final), block_size)
-    grad = J_final.T @ (w * r_final)
     return LMResult(
         x=x,
         cost=cost,
         initial_cost=cost0,
         lam=lam,
         num_accepted=n_acc,
-        grad_norm=jnp.max(jnp.abs(grad)),
+        grad_norm=jnp.max(jnp.abs(g)),
     )
 
 
