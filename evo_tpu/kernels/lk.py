@@ -76,7 +76,14 @@ def _track_level(img0, img1, pt0, guess, radius: int, num_iters: int):
     bx1 = pt0[0] - ox1.astype(img0.dtype) + r
     by1 = pt0[1] - oy1.astype(img0.dtype) + r
 
-    def body(_, v):
+    eps2 = jnp.asarray(1e-4, img0.dtype)  # OpenCV criteria: eps 0.01 (²)
+
+    def w_cond(state):
+        _, d2, it = state
+        return (it < num_iters) & (d2 >= eps2)
+
+    def w_body(state):
+        v, _, it = state
         txv = interp.cubic_taps(bx1 + v[0], W)
         tyv = interp.cubic_taps(by1 + v[1], W)
         cur = (tyv @ win1) @ txv.T  # [S, S]
@@ -85,14 +92,21 @@ def _track_level(img0, img1, pt0, guess, radius: int, num_iters: int):
         b2 = jnp.sum(e * gy)
         dvx = -(a22 * b1 - a12 * b2) / det_safe
         dvy = -(-a12 * b1 + a11 * b2) / det_safe
-        return v + jnp.array([dvx, dvy], v.dtype)
+        dv = jnp.array([dvx, dvy], v.dtype)
+        return v + dv, jnp.sum(dv * dv), it + 1
 
     # seed the carry from pt0 so its varying-manual-axes type matches the
     # body output when tracking shard-local corners inside shard_map (the
     # window slices depend on pt0, so the refined v is varying even when the
-    # initial guess is a replicated zero)
+    # initial guess is a replicated zero). The refinement runs under the
+    # reference's dual criteria (30 iters OR eps 0.01, flow_estimator.cpp:
+    # 84-103) as a while_loop: under vmap, converged corners mask out and
+    # the loop ends when the LAST corner converges — typically ~5-8 trips
+    # instead of a fixed 30 (x3 levels) of serial small-matmul steps
     v0 = guess.astype(img0.dtype) + 0.0 * pt0.astype(img0.dtype)
-    v = jax.lax.fori_loop(0, num_iters, body, v0)
+    v, _, _ = jax.lax.while_loop(
+        w_cond, w_body, (v0, jnp.asarray(jnp.inf, img0.dtype) + 0.0 * v0[0], 0 * ox1)
+    )
     # travel guard: the target window is anchored at pt0 + guess, so an
     # iterate that moves more than (half − radius − 1) px beyond the guess
     # samples clamped window edges — it could "converge" on replicated

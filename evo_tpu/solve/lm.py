@@ -212,8 +212,14 @@ def lm_solve(
     # residuals like the patch alignment, the residual eval alone is ~half a
     # linearize of MXU/VPU work. Results are identical: a rejected step
     # re-solves the same normal equations the classic loop would rebuild.
-    def step(state, _):
-        x, A, g, lam, cost, n_acc = state
+    ftol = 1e-6  # Ceres' function_tolerance default
+
+    def w_cond(state):
+        _, _, _, _, _, _, it, done = state
+        return (it < num_iters) & ~done
+
+    def step(state):
+        x, A, g, lam, cost, n_acc, it, _ = state
         diag = jnp.clip(jnp.diag(A), 1e-8, None)
         delta = -_solve_spd(A + lam * jnp.diag(diag), g)
         bad = ~jnp.all(jnp.isfinite(delta))
@@ -225,15 +231,20 @@ def lm_solve(
         r_new, J_new = linearize(x_new)
         A_new, g_new, cost_new = normal_eq(r_new, J_new)
         accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+        # Ceres-style convergence: an accepted step whose relative cost
+        # drop falls under function_tolerance ends the solve (under vmap,
+        # converged problems mask out and the batch exits at the LAST
+        # problem's trip count instead of always paying num_iters)
+        done = accept & (cost - cost_new <= ftol * cost)
         sel = lambda a, b: jnp.where(accept, b, a)
         x_out = jax.tree_util.tree_map(sel, x, x_new)
         lam_out = jnp.clip(
             jnp.where(accept, lam * lambda_down, lam * lambda_up),
             min_lambda, max_lambda,
         )
-        out = (x_out, sel(A, A_new), sel(g, g_new), lam_out,
-               sel(cost, cost_new), n_acc + accept.astype(jnp.int32))
-        return out, None
+        return (x_out, sel(A, A_new), sel(g, g_new), lam_out,
+                sel(cost, cost_new), n_acc + accept.astype(jnp.int32),
+                it + 1, done)
 
     r0, J0 = linearize(x0)
     A0, g0, cost0 = normal_eq(r0, J0)
@@ -247,9 +258,11 @@ def lm_solve(
         jnp.asarray(init_lambda, r0.dtype) + zero_like_cost,
         cost0,
         zero_like_cost.astype(jnp.int32),
+        zero_like_cost.astype(jnp.int32),
+        zero_like_cost.astype(bool),
     )
-    (x, A, g, lam, cost, n_acc), _ = jax.lax.scan(
-        step, init, None, length=num_iters
+    (x, A, g, lam, cost, n_acc, _, _) = jax.lax.while_loop(
+        w_cond, step, init
     )
 
     return LMResult(

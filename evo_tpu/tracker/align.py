@@ -103,7 +103,8 @@ def _patch_abs_coords(center):
 GRAD_WINDOW = 64
 
 
-def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False):
+def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False,
+                      taps: str = "cubic"):
     """Sample both gradient channels of `grad2` [2, H, W] at the SE(2)-warped
     rect pixels of `center` — the hot sampling step of the alignment residual.
 
@@ -132,8 +133,17 @@ def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False):
     win = jax.lax.dynamic_slice(
         grad2, (0, oy, ox), (2, GRAD_WINDOW, GRAD_WINDOW)
     )
-    ty = interp.cubic_taps(wpts[:, 1] - oy.astype(wpts.dtype), GRAD_WINDOW)
-    tx = interp.cubic_taps(wpts[:, 0] - ox.astype(wpts.dtype), GRAD_WINDOW)
+    if not with_derivs:
+        tap_fn = interp.linear_taps if taps == "linear" else interp.cubic_taps
+        ty = tap_fn(wpts[:, 1] - oy.astype(wpts.dtype), GRAD_WINDOW)
+        tx = tap_fn(wpts[:, 0] - ox.astype(wpts.dtype), GRAD_WINDOW)
+    else:
+        # fused value+derivative tap builds share d/|d|/sign per axis —
+        # the tap construction is the VPU bottleneck of the linearize
+        ty, lyd = interp.cubic_taps_vd(wpts[:, 1] - oy.astype(wpts.dtype),
+                                       GRAD_WINDOW)
+        tx, lxd = interp.cubic_taps_vd(wpts[:, 0] - ox.astype(wpts.dtype),
+                                       GRAD_WINDOW)
     # fold both channels into the matmul lane dim: [S, 2S] keeps the MXU
     # N-dimension at 128 (two separate [·, S] matmuls would each pad S=64
     # lanes up to 128 and waste half the array)
@@ -146,8 +156,6 @@ def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False):
     # spatial derivatives of the interpolant via derivative taps — ONE extra
     # matmul (tmpd) + row-dots, vs a forward-mode pass that materializes a
     # [T, N, S] tangent tensor per patch
-    lyd = interp.cubic_taps_d(wpts[:, 1] - oy.astype(wpts.dtype), GRAD_WINDOW)
-    lxd = interp.cubic_taps_d(wpts[:, 0] - ox.astype(wpts.dtype), GRAD_WINDOW)
     tmpd = jnp.einsum("nh,hm->nm", lyd, win_hm, preferred_element_type=jnp.float32)
     gx_x = jnp.sum(lxd * tmp[:, :GRAD_WINDOW], axis=-1)
     gy_x = jnp.sum(lxd * tmp[:, GRAD_WINDOW:], axis=-1)
@@ -255,7 +263,12 @@ def update_num_of_events(table: ps.PatchTable, grad, lost_border: int = 5):
     )
 
     def budget_one(se2, flow, center):
-        gx, gy, _, _ = _sample_grad_pair(grad, se2, center)
+        # bilinear taps: the budget is a clamped L1 heuristic (x0.6,
+        # [100, 300]) — px-level sampling accuracy is ample (the reference
+        # reads the gradient image with OpenCV bilinear access), and the
+        # hat-function build is ~3x cheaper VPU work than the cubic pair,
+        # which matters because this runs for every patch on every scan step
+        gx, gy, _, _ = _sample_grad_pair(grad, se2, center, taps="linear")
         return jnp.sum(jnp.abs(0.6 * (gx * jnp.cos(flow) + gy * jnp.sin(flow))))
 
     raw = jax.vmap(budget_one)(table.warp, table.flow, table.center)

@@ -215,14 +215,26 @@ def _frame_apply(table: ps.PatchTable, grads, new_grad, img, prev_img,
         table, grads, new_grad, slot, new_mask, new_center, new_tid
     )
     if with_lk:
-        _, flow_xy, status = lk.pyramidal_lk(
-            prev_img, img, table.center,
-            table.alive & ~table.initialized,
-            num_levels=lk_levels, radius=lk_radius,
-        )
-        table = _apply_flow_init(table, flow_xy, status, h, w)
+        table = _lk_init_cond(table, img, prev_img, lk_levels, lk_radius, h, w)
     table = align.update_num_of_events(table, new_grad)
     return table, grads
+
+
+def _lk_init_cond(table, img, prev_img, lk_levels, lk_radius, h, w):
+    """Flow-bootstrap uninitialized patches — skipped entirely (lax.cond)
+    when the frame added none, which is most frames (the reference's
+    FlowEstimator likewise only touches new features,
+    flow_estimator.cpp:27-82)."""
+    uninit = table.alive & ~table.initialized
+
+    def run_lk(tbl):
+        _, flow_xy, status = lk.pyramidal_lk(
+            prev_img, img, tbl.center, uninit,
+            num_levels=lk_levels, radius=lk_radius,
+        )
+        return _apply_flow_init(tbl, flow_xy, status, h, w)
+
+    return jax.lax.cond(jnp.any(uninit), run_lk, lambda t: t, table)
 
 
 @jax.jit
@@ -294,12 +306,7 @@ def _fused_window_core(table: ps.PatchTable, grads, pstate: policy.PolicyState,
         new_center, new_tid,
     )
     if with_lk:
-        _, flow_xy, status = lk.pyramidal_lk(
-            prev_img, img, table.center,
-            table.alive & ~table.initialized,
-            num_levels=lk_levels, radius=lk_radius,
-        )
-        table = _apply_flow_init(table, flow_xy, status, h, w)
+        table = _lk_init_cond(table, img, prev_img, lk_levels, lk_radius, h, w)
     table = align.update_num_of_events(table, new_grad)
     framelog = dict(
         evict_tid=evict_tid,

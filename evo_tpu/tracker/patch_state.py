@@ -115,27 +115,64 @@ def route_events(table: PatchTable, ex, ey, et, ep, ev_mask) -> PatchTable:
     iny = jnp.abs(ey[None, :] - table.center[:, 1:2]) <= PATCH_EXTENT
     hit = inx & iny & table.alive[:, None] & ev_mask[None, :]  # [P, N]
 
-    # ring positions: for each patch, k-th hit goes to (count + rank) % E
-    rank = jnp.cumsum(hit, axis=1) - 1  # [P, N] rank among this patch's hits
-    pos = (table.ev_count[:, None] + rank) % e
-    # ONE scatter of event *indices* into the ring (later writes win, which
-    # is exactly the ring semantics), then per-field gathers of [P, E] —
-    # 4 large [P·N] scatters would be ~4x the serialized scatter work on TPU
-    flat_idx = (jnp.arange(p)[:, None] * e + pos).astype(jnp.int32)  # [P, N]
-    # large OOB index for non-hits (dropped by mode="drop")
-    oob = p * e
-    tgt = jnp.where(hit, flat_idx, oob).ravel()
-    src = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], (p, n)
-    ).ravel()
-    ring_new = (
-        jnp.full(p * e, -1, jnp.int32).at[tgt].set(src, mode="drop")
-    )  # [P·E] index into this batch, or -1 = keep old value
+    # ring positions: for each patch, k-th hit goes to (count + rank) % E.
+    # Only the newest <= E hits can survive the ring ("later writes win"),
+    # and those occupy E *distinct* slots — so the scatter becomes an exact
+    # SUM: slot j of patch p receives its unique kept hit's event index (+1)
+    # via separable one-hot contractions on the MXU (the same image = YT@X
+    # trick as kernels.splat), instead of a [P·N]-update scatter, which XLA
+    # lowers to serialized per-element stores on TPU (~10 ms per sub-batch
+    # at P=128, N=5000 — the single hottest op of the window scan).
+    rank1 = jnp.cumsum(hit, axis=1, dtype=jnp.int32)  # [P, N] 1-based rank
+    tot = rank1[:, -1:]  # [P, 1] total hits
+    keep = hit & (rank1 > tot - e)  # newest <= E hits -> distinct slots
+    slot = (table.ev_count[:, None] + rank1 - 1) % e  # [P, N]
+    if e % 16 == 0:
+        f32 = jnp.float32
+        e_hi = e // 16
+        hi_grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, e_hi), 2)
+        lo_grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+        oh_hi = ((slot[:, :, None] // 16 == hi_grid) & keep[:, :, None])
+        oh_lo = (slot[:, :, None] % 16 == lo_grid)
+        # event index n+1, split into base-128 digits so every matmul runs
+        # at DEFAULT (single-pass bf16) precision exactly: digits <= 127 and
+        # one-hot entries are exact in bf16; each output slot receives at
+        # most one nonzero product; accumulation (and the digit recombine,
+        # all values < 2^24) is f32
+        val = jnp.arange(1, n + 1, dtype=jnp.int32)[None, :, None]
+        # materialize the big [P, N, ·] one-hot operands in bf16 (exact for
+        # {0, 1} and digits <= 127): the contraction is HBM-bound on these
+        # tensors, so halving their bytes is the dominant cost lever
+        bf = jnp.bfloat16
+        oh_hi_b = oh_hi.astype(bf)
+        ring_i = 0
+        for shift in range(0, max(1, int(n).bit_length()), 7):
+            digit = ((val >> shift) & 127).astype(bf)
+            contrib = jnp.einsum(
+                "pnh,pnl->phl",
+                oh_hi_b,
+                oh_lo.astype(bf) * digit,
+                preferred_element_type=f32,
+            )
+            ring_i = ring_i + float(1 << shift) * contrib
+        ring_new = ring_i.reshape(p, e).astype(jnp.int32) - 1
+    else:
+        # fallback: one scatter of event indices (later writes win = ring)
+        pos = (table.ev_count[:, None] + rank1 - 1) % e
+        flat_idx = (jnp.arange(p)[:, None] * e + pos).astype(jnp.int32)
+        oob = p * e  # dropped by mode="drop" for non-hits
+        tgt = jnp.where(hit, flat_idx, oob).ravel()
+        src = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :], (p, n)
+        ).ravel()
+        ring_new = (
+            jnp.full(p * e, -1, jnp.int32).at[tgt].set(src, mode="drop")
+        ).reshape(p, e)
     fresh = ring_new >= 0
     take = jnp.where(fresh, ring_new, 0)
 
     def merge(buf, val):
-        return jnp.where(fresh, val[take], buf.ravel()).reshape(p, e)
+        return jnp.where(fresh, val[take], buf)
 
     new_count = table.ev_count + jnp.sum(hit, axis=1).astype(jnp.int32)
     new_counter = table.counter + jnp.sum(hit, axis=1).astype(jnp.int32)

@@ -187,6 +187,44 @@ class TestHarris:
         xy, score, valid = harris.detect_corners(jnp.ones((64, 64)), max_corners=10)
         assert int(jnp.sum(valid)) == 0
 
+    def test_fixpoint_nms_matches_serial_greedy(self):
+        """The whole-vector suppression fixpoint must equal OpenCV's serial
+        greedy pass (accept strongest, reject anything within min_distance
+        of an accepted corner, in score order) on a busy natural image."""
+        rng = np.random.default_rng(11)
+        img = rng.random((120, 160)).astype(np.float32)
+        img = np.asarray(
+            jnp.asarray(img)
+        )
+        max_corners, min_d, border = 40, 9.0, 10
+        xy, score, valid = harris.detect_corners(
+            jnp.asarray(img), max_corners=max_corners,
+            min_distance=min_d, border=border,
+        )
+        # serial greedy oracle over the same candidate pool
+        resp = np.asarray(harris.harris_response(jnp.asarray(img), 3, 0.04))
+        peak = np.asarray(
+            resp >= np.asarray(harris._maxpool_same(jnp.asarray(resp), 3))
+        )
+        h, w = img.shape
+        ys, xs = np.mgrid[0:h, 0:w]
+        inb = ((xs >= border) & (xs < w - border)
+               & (ys >= border) & (ys < h - border))
+        qmax = resp[inb].max()
+        good = peak & inb & (resp > 0.01 * qmax) & (resp > 0)
+        scores = np.where(good, resp, -np.inf).ravel()
+        order = np.argsort(-scores, kind="stable")[: 4 * max_corners]
+        taken = []
+        for idx in order:
+            if not np.isfinite(scores[idx]) or len(taken) >= max_corners:
+                continue
+            cy, cx = divmod(idx, w)
+            if all((cx - tx) ** 2 + (cy - ty) ** 2 >= min_d * min_d
+                   for tx, ty in taken):
+                taken.append((float(cx), float(cy)))
+        got = [tuple(p) for p in np.asarray(xy)[np.asarray(valid)]]
+        assert got == taken
+
 
 class TestLK:
     def _textured(self, rng, h=96, w=96, sigma=2.0):

@@ -43,6 +43,49 @@ class TestPatchTable:
         np.testing.assert_allclose(np.asarray(out.ev_x[1, :2]), [100, 112])
         np.testing.assert_allclose(np.asarray(out.ev_p[1, :2]), [-1, -1])
 
+    def test_route_events_random_oracle(self):
+        """Differential test of the separable-matmul router against a
+        per-event host loop (the reference's isInPatch -> addEvent walk,
+        feature_detector.cpp:585-597): random coords, masked events, ring
+        pre-fill and multi-wrap overflow in one batch."""
+        rng = np.random.default_rng(42)
+        table = empty_with_patches(
+            centers=[(50.0, 40.0), (100.0, 90.0), (60.0, 44.0)])
+        e = table.ev_t.shape[1]
+        # pre-fill patch 0 mid-ring so slot arithmetic starts offset
+        pre = dataclasses.replace(
+            table, ev_count=table.ev_count.at[0].set(e + 3))
+        n = 2 * e + 211
+        ex = rng.uniform(30, 120, n).astype(np.float32)
+        ey = rng.uniform(20, 110, n).astype(np.float32)
+        et = np.arange(n, dtype=np.float32) * 1e-4
+        ep = rng.choice([-1.0, 1.0], n).astype(np.float32)
+        mask = rng.random(n) < 0.9
+        out = ps.route_events(pre, jnp.asarray(ex), jnp.asarray(ey),
+                              jnp.asarray(et), jnp.asarray(ep),
+                              jnp.asarray(mask))
+        centers = np.asarray(pre.center)
+        alive = np.asarray(pre.alive)
+        counts = np.asarray(pre.ev_count).copy()
+        rings = {f: np.asarray(getattr(pre, f)).copy()
+                 for f in ("ev_t", "ev_x", "ev_y", "ev_p")}
+        vals = {"ev_t": et, "ev_x": ex, "ev_y": ey, "ev_p": ep}
+        for i in range(n):
+            if not mask[i]:
+                continue
+            for pidx in range(len(centers)):
+                if not alive[pidx]:
+                    continue
+                if (abs(ex[i] - centers[pidx, 0]) <= ps.PATCH_EXTENT
+                        and abs(ey[i] - centers[pidx, 1]) <= ps.PATCH_EXTENT):
+                    s = counts[pidx] % e
+                    for f in rings:
+                        rings[f][pidx, s] = vals[f][i]
+                    counts[pidx] += 1
+        np.testing.assert_array_equal(np.asarray(out.ev_count), counts)
+        for f in rings:
+            np.testing.assert_allclose(np.asarray(getattr(out, f)), rings[f])
+
     def test_ring_wrap_keeps_newest(self):
         table = empty_with_patches(centers=[(50.0, 40.0)])
         e = table.ev_t.shape[1]
