@@ -141,6 +141,7 @@ def lm_solve(
     max_lambda: float = 1e6,
     max_step: float | None = None,
     linearize_fn: Callable | None = None,
+    active: jax.Array | None = None,
 ) -> LMResult:
     """Dense damped Gauss-Newton / LM with fixed trip count.
 
@@ -163,6 +164,12 @@ def lm_solve(
         sampling/matmul residual materializes [T, R, ...] tangent
         intermediates, while an analytic J usually needs one extra matmul
         (see tracker.align.alignment_linearize).
+    active : optional scalar bool — False marks this solve instance as a
+        no-op (returns x0 after the initial linearization only). Matters
+        under `vmap`: the batched `while_loop` iterates until the LAST lane
+        converges, so masked-out lanes (e.g. non-ready patches whose results
+        are discarded anyway) must not gate the batch's trip count with
+        garbage-data iterations.
     """
     if retract is None:
         assert tangent_dim is None or tangent_dim == jnp.size(x0)
@@ -251,6 +258,9 @@ def lm_solve(
     # derive constants from cost0 so their varying-manual-axes types match
     # the loop-carried outputs under shard_map
     zero_like_cost = cost0 * 0
+    done0 = zero_like_cost.astype(bool)
+    if active is not None:
+        done0 = done0 | ~active
     init = (
         x0,
         A0,
@@ -259,7 +269,7 @@ def lm_solve(
         cost0,
         zero_like_cost.astype(jnp.int32),
         zero_like_cost.astype(jnp.int32),
-        zero_like_cost.astype(bool),
+        done0,
     )
     (x, A, g, lam, cost, n_acc, _, _) = jax.lax.while_loop(
         w_cond, step, init

@@ -27,7 +27,7 @@ Semantics mirrored from the reference:
 from __future__ import annotations
 
 import dataclasses
-
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -102,36 +102,53 @@ def _patch_abs_coords(center):
 # support, and 64 is MXU/VPU lane-width friendly.
 GRAD_WINDOW = 64
 
+# Input dtype of the sampler's MXU contractions (accumulation is always
+# f32 via preferred_element_type). bfloat16 runs the K=64 contraction at
+# twice the f32 systolic rate; set to jnp.float32 to fall back to exact
+# f32 sampling (the PRECISION.json A/B shows the tracking-quality impact).
+SAMPLE_MXU_DTYPE = jnp.bfloat16
 
-def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False,
-                      taps: str = "cubic"):
-    """Sample both gradient channels of `grad2` [2, H, W] at the SE(2)-warped
-    rect pixels of `center` — the hot sampling step of the alignment residual.
 
-    TPU formulation: one dynamic_slice of a GRAD_WINDOW² local window around
-    the warped center, then dense Catmull-Rom tap-matrix contractions
+def slice_grad_window(grad2, se2, center):
+    """(win [2, G, G], ox, oy) — the GRAD_WINDOW² local window of `grad2`
+    around the SE(2)-warped `center`, origin clamped to the image. The
+    integer origin has zero tangent (round/int32): the solve's derivatives
+    flow through the tap weights, not the slice origin."""
+    h, w = grad2.shape[1], grad2.shape[2]
+    c = lie.se2_apply(se2, center)
+    ox = jnp.clip(jnp.round(c[0]).astype(jnp.int32) - GRAD_WINDOW // 2, 0, w - GRAD_WINDOW)
+    oy = jnp.clip(jnp.round(c[1]).astype(jnp.int32) - GRAD_WINDOW // 2, 0, h - GRAD_WINDOW)
+    win = jax.lax.dynamic_slice(
+        grad2, (0, oy, ox), (2, GRAD_WINDOW, GRAD_WINDOW)
+    )
+    return win, ox, oy
+
+
+def _sample_grad_win(win, ox, oy, h, w, se2, center,
+                     with_derivs: bool = False, taps: str = "cubic"):
+    """Sample both gradient channels of a pre-sliced GRAD_WINDOW² window
+    (`slice_grad_window`) at the SE(2)-warped rect pixels of `center` — the
+    hot sampling step of the alignment residual.
+
+    TPU formulation: dense Catmull-Rom tap-matrix contractions
     (kernels.interp.cubic_taps) — MXU matmuls instead of the 16-way random
     gather Ceres' BiCubicInterpolator does per sample (optimizer_cost.h:
     10-13), which on TPU lowers to serial gathers ~1000× slower. The store
     is channel-major [2, H, W]: a trailing channel dim of 2 would land in
     the TPU lane dimension and waste 126/128 of every vector register.
+    Taking the window as an INPUT lets the LM solve slice it once per solve
+    instead of once per while-loop trip: under vmap the per-lane
+    dynamic_slice lowers to P serialized tiny kernels (~1.5 ms per 128-lane
+    batch on v5e) — re-slicing inside the loop body dominated the whole
+    solve before this split.
 
     Returns (gx [(S²)], gy [(S²)], wpts [(S²), 2], inb [(S²)] bool).
     """
-    h, w = grad2.shape[1], grad2.shape[2]
     pts = _patch_abs_coords(center)
     wpts = lie.se2_apply(se2, pts)
     inb = (
         (wpts[:, 0] >= 0.0) & (wpts[:, 0] < w)
         & (wpts[:, 1] >= 0.0) & (wpts[:, 1] < h)
-    )
-    c = lie.se2_apply(se2, center)
-    # integer window origin (round/int32 have zero tangent — the solve's
-    # derivatives flow through the tap weights, not the slice origin)
-    ox = jnp.clip(jnp.round(c[0]).astype(jnp.int32) - GRAD_WINDOW // 2, 0, w - GRAD_WINDOW)
-    oy = jnp.clip(jnp.round(c[1]).astype(jnp.int32) - GRAD_WINDOW // 2, 0, h - GRAD_WINDOW)
-    win = jax.lax.dynamic_slice(
-        grad2, (0, oy, ox), (2, GRAD_WINDOW, GRAD_WINDOW)
     )
     if not with_derivs:
         tap_fn = interp.linear_taps if taps == "linear" else interp.cubic_taps
@@ -148,20 +165,45 @@ def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False,
     # N-dimension at 128 (two separate [·, S] matmuls would each pad S=64
     # lanes up to 128 and waste half the array)
     win_hm = jnp.transpose(win, (1, 0, 2)).reshape(GRAD_WINDOW, 2 * GRAD_WINDOW)
-    tmp = jnp.einsum("nh,hm->nm", ty, win_hm, preferred_element_type=jnp.float32)
-    gx = jnp.sum(tx * tmp[:, :GRAD_WINDOW], axis=-1)
-    gy = jnp.sum(tx * tmp[:, GRAD_WINDOW:], axis=-1)
+    # MXU inputs in SAMPLE_MXU_DTYPE (f32 accumulate): bf16 doubles the
+    # systolic-array rate and halves the operand bandwidth of the solve's
+    # hot matmul. Tap weights are in [0, 1] and gradients O(1), so the
+    # ~2^-8 bf16 input rounding perturbs the sampled value ~0.4% — an
+    # order below the residual's Huber scale (0.3); the tracking-quality
+    # A/B lives in PRECISION.json ("sampler_mxu_dtype").
+    md = SAMPLE_MXU_DTYPE
+    win_md = win_hm.astype(md)
+    # tmp/tmpd also STORE in `md`: the [(S²), 2G] intermediates are the
+    # solve's HBM traffic (40 MB per 128-lane trip in f32) and the row-dot
+    # consumers re-read them once — at bf16 both directions halve
+    tmp = jnp.einsum("nh,hm->nm", ty.astype(md), win_md,
+                     preferred_element_type=md)
+    gx = jnp.sum(tx * tmp[:, :GRAD_WINDOW].astype(jnp.float32), axis=-1)
+    gy = jnp.sum(tx * tmp[:, GRAD_WINDOW:].astype(jnp.float32), axis=-1)
     if not with_derivs:
         return gx, gy, wpts, inb
     # spatial derivatives of the interpolant via derivative taps — ONE extra
     # matmul (tmpd) + row-dots, vs a forward-mode pass that materializes a
     # [T, N, S] tangent tensor per patch
-    tmpd = jnp.einsum("nh,hm->nm", lyd, win_hm, preferred_element_type=jnp.float32)
-    gx_x = jnp.sum(lxd * tmp[:, :GRAD_WINDOW], axis=-1)
-    gy_x = jnp.sum(lxd * tmp[:, GRAD_WINDOW:], axis=-1)
-    gx_y = jnp.sum(tx * tmpd[:, :GRAD_WINDOW], axis=-1)
-    gy_y = jnp.sum(tx * tmpd[:, GRAD_WINDOW:], axis=-1)
+    tmpd = jnp.einsum("nh,hm->nm", lyd.astype(md), win_md,
+                      preferred_element_type=md)
+    gx_x = jnp.sum(lxd * tmp[:, :GRAD_WINDOW].astype(jnp.float32), axis=-1)
+    gy_x = jnp.sum(lxd * tmp[:, GRAD_WINDOW:].astype(jnp.float32), axis=-1)
+    gx_y = jnp.sum(tx * tmpd[:, :GRAD_WINDOW].astype(jnp.float32), axis=-1)
+    gy_y = jnp.sum(tx * tmpd[:, GRAD_WINDOW:].astype(jnp.float32), axis=-1)
     return gx, gy, wpts, inb, (gx_x, gy_x, gx_y, gy_y)
+
+
+def _sample_grad_pair(grad2, se2, center, with_derivs: bool = False,
+                      taps: str = "cubic"):
+    """slice_grad_window + _sample_grad_win, re-slicing at the CURRENT warp
+    — the one-shot sampling entry for everything outside the LM loop
+    (budget update, predicted nabla, cost map, the plain residual)."""
+    win, ox, oy = slice_grad_window(grad2, se2, center)
+    return _sample_grad_win(
+        win, ox, oy, grad2.shape[1], grad2.shape[2], se2, center,
+        with_derivs=with_derivs, taps=taps,
+    )
 
 
 def alignment_residual(params5, data):
@@ -185,20 +227,20 @@ def _retract5(x, d):
     return jnp.concatenate([lie.se2_retract(x[0:4], d[0:3]), x[4:5] + d[3:4]])
 
 
-def alignment_linearize(params5, data):
-    """Analytic (r [(S²)], J [(S²), 4]) of `alignment_residual` at d = 0 of
-    `_retract5` — exactly what autodiff computes, for ~5x less device work:
-    forward-mode through the sampling matmuls materializes a
-    [tangents, points, window] tensor per patch per LM iteration (HBM-bound);
-    here the Jacobian needs one derivative-tap matmul plus [points, 4]-sized
-    chain-rule arithmetic. The geometry tangents d(W·exp(δ)·a)/dδ still come
-    from `jax.jacfwd`, but only through the cheap 2D point warp.
+def _linearize_win_core(params5, norm_int, win, ox, oy, h, w, center):
+    """Analytic (r [(S²)], J [(S²), 4]) of the alignment residual at d = 0
+    of `_retract5` against a pre-sliced gradient window — exactly what
+    autodiff computes, for ~5x less device work: forward-mode through the
+    sampling matmuls materializes a [tangents, points, window] tensor per
+    patch per LM iteration (HBM-bound); here the Jacobian needs one
+    derivative-tap matmul plus [points, 4]-sized chain-rule arithmetic. The
+    geometry tangents d(W·exp(δ)·a)/dδ still come from `jax.jacfwd`, but
+    only through the cheap 2D point warp.
     """
-    norm_int, grad2, center = data
     se2 = params5[0:4]
     flow = params5[4]
-    gx, gy, wpts, inb, (gx_x, gy_x, gx_y, gy_y) = _sample_grad_pair(
-        grad2, se2, center, with_derivs=True
+    gx, gy, wpts, inb, (gx_x, gy_x, gx_y, gy_y) = _sample_grad_win(
+        win, ox, oy, h, w, se2, center, with_derivs=True
     )
     cosf, sinf = jnp.cos(flow), jnp.sin(flow)
     pred = jnp.where(inb, gx * cosf + gy * sinf, 0.0)
@@ -225,22 +267,71 @@ def alignment_linearize(params5, data):
     return r, j
 
 
-def _solve_one(params5, data):
+def alignment_linearize(params5, data):
+    """`_linearize_win_core` with the window sliced at the current warp —
+    data = (norm_int, grad2 [2, H, W], center), the full-image signature."""
+    norm_int, grad2, center = data
+    win, ox, oy = slice_grad_window(grad2, params5[0:4], center)
+    return _linearize_win_core(
+        params5, norm_int, win, ox, oy, grad2.shape[1], grad2.shape[2], center
+    )
+
+
+@lru_cache(maxsize=None)
+def _win_solve_fns(h, w):
+    """(residual_fn, linearize_fn) over the pre-sliced-window data layout
+    (norm_int, win, ox, oy, center); h/w are the full-image bounds for the
+    in-image mask. Cached so lm_solve's jit cache sees stable identities."""
+
+    def residual(params5, data):
+        norm_int, win, ox, oy, center = data
+        se2 = params5[0:4]
+        flow = params5[4]
+        gx, gy, wpts, inb = _sample_grad_win(win, ox, oy, h, w, se2, center)
+        pred = gx * jnp.cos(flow) + gy * jnp.sin(flow)
+        pred = jnp.where(inb, pred, 0.0)
+        norm_pred = jnp.sqrt(1e-5 + jnp.sum(pred * pred))
+        return jnp.where(inb, pred / norm_pred + norm_int, 0.0)
+
+    def linearize(params5, data):
+        norm_int, win, ox, oy, center = data
+        return _linearize_win_core(
+            params5, norm_int, win, ox, oy, h, w, center
+        )
+
+    return residual, linearize
+
+
+def _solve_one(params5, data, active=None):
+    # slice the gradient window ONCE per solve, anchored at the initial
+    # warp: under vmap a per-lane dynamic_slice lowers to P serialized tiny
+    # kernels, and paying that on every while-loop trip dominated the whole
+    # solve (device trace: ~70% of the scan in slice/update microkernels).
+    # Within-solve travel is ~1-2 px against the window's ≥14 px slack, so
+    # anchoring at x0 samples identically to per-trip re-slicing except for
+    # extreme single-solve travel — where the trust region (max_step) and
+    # the in-image mask still bound the result.
+    norm_int, grad2, center = data
+    win, ox, oy = slice_grad_window(grad2, params5[0:4], center)
+    residual_fn, linearize_fn = _win_solve_fns(
+        grad2.shape[1], grad2.shape[2]
+    )
     res = lm_solve(
-        alignment_residual,
+        residual_fn,
         params5,
-        data,
+        (norm_int, win, ox, oy, center),
         retract=_retract5,
         tangent_dim=4,
         num_iters=MAX_LM_ITERS,
         block_size=ps.PATCH_SIDE * ps.PATCH_SIDE,
         huber_delta=HUBER,
         init_lambda=1e-4,
-        linearize_fn=alignment_linearize,
+        linearize_fn=linearize_fn,
         # trust region: a single LM step may move the patch by at most half
         # its extent, so the solver cannot teleport the patch out of the
         # image (where all residuals are zeroed => spurious global optimum)
         max_step=float(ps.PATCH_EXTENT) / 2.0,
+        active=active,
     )
     return res.x, 0.5 * res.cost  # Ceres' final_cost convention
 
@@ -304,10 +395,47 @@ def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
     # no patch is ready — the common case between bursts; the reference's
     # per-event walk pays nothing when `isReady` is false (updatePatches,
     # feature_detector.cpp:611-616)
-    def _run(_):
+    n_ready = jnp.sum(ready)
+    # compact solve width: in steady state only a small fraction of the
+    # table is ready per sub-batch (each patch's budget refills every few
+    # sub-batches), so gathering the ready lanes into a half-width batch
+    # halves the per-LM-iteration sampling matmuls and the [R, 2, H, W]
+    # gradient gather — the scan's dominant cost. Results are EXACT: lanes
+    # are compacted by stable sort (ready-first, original order preserved),
+    # solved, and scattered back; the full-width path still serves the
+    # bootstrap bursts where more than half the table fires at once.
+    r_lanes = max(1, table.capacity // 2)
+
+    def _run_compact(_):
+        order = jnp.argsort(~ready)  # stable: ready lanes first, in order
+        idx = order[:r_lanes]
+        act = ready[idx]
+        new_p, cost_c = jax.vmap(_solve_one)(
+            params0[idx],
+            (norm_int[idx], grads[table.grad_slot[idx]], table.center[idx]),
+            act,
+        )
+        new_params = params0.at[idx].set(
+            jnp.where(act[:, None], new_p, params0[idx])
+        )
+        cost = (params0[:, 0] * 0.0).at[idx].set(
+            jnp.where(act, cost_c, 0.0)
+        )
+        return new_params, cost
+
+    def _run_full(_):
         grad_per_patch = grads[table.grad_slot]  # [P, 2, H, W]
+        # non-ready lanes are marked inactive: their results are discarded
+        # below, and the batched while_loop in lm_solve iterates until the
+        # LAST live lane converges — letting stale-ring lanes iterate on
+        # garbage would gate every scan step's solve at max trip count
         return jax.vmap(_solve_one)(
-            params0, (norm_int, grad_per_patch, table.center)
+            params0, (norm_int, grad_per_patch, table.center), ready
+        )
+
+    def _run(_):
+        return jax.lax.cond(
+            n_ready <= r_lanes, _run_compact, _run_full, None
         )
 
     def _skip(_):

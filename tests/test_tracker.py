@@ -214,31 +214,55 @@ class TestAlignment:
             ((w - 13.0, h - 14.0), (w - 25.0, h - 10.0), 0.25),
             ((120.0, 13.0), (150.0, 8.0), 0.0),
         ]
-        for center, target, theta in cases:
-            center = jnp.asarray(center, jnp.float32)
-            rot = jnp.array([np.cos(theta), np.sin(theta)], jnp.float32)
-            t = jnp.asarray(target, jnp.float32) - lie.se2_rotate(
-                jnp.concatenate([rot, jnp.zeros(2)]), center
-            )
-            se2 = jnp.concatenate([rot, t]).astype(jnp.float32)
-            gx, gy, wpts, inb = align._sample_grad_pair(
-                grad, se2, center.astype(jnp.float32)
-            )
-            interior = (
-                np.asarray(inb)
-                & (np.asarray(wpts[:, 0]) >= 2) & (np.asarray(wpts[:, 0]) < w - 2)
-                & (np.asarray(wpts[:, 1]) >= 2) & (np.asarray(wpts[:, 1]) < h - 2)
-            )
-            assert interior.sum() > 10, "degenerate case: nothing in-image"
-            ref_gx = np.asarray(interp.bicubic(grad[0], wpts[:, 1], wpts[:, 0]))
-            ref_gy = np.asarray(interp.bicubic(grad[1], wpts[:, 1], wpts[:, 0]))
-            np.testing.assert_allclose(
-                np.asarray(gx)[interior], ref_gx[interior], atol=1e-4,
-                err_msg=f"center {center} target {target} theta {theta}",
-            )
-            np.testing.assert_allclose(
-                np.asarray(gy)[interior], ref_gy[interior], atol=1e-4,
-            )
+        # the clamp/coverage guarantee is a property of the WINDOW geometry,
+        # not of the MXU input precision — pin the sampler to exact f32 for
+        # the structural check, then bound the bf16 fast path against it
+        saved_md = align.SAMPLE_MXU_DTYPE
+        try:
+            for center, target, theta in cases:
+                center = jnp.asarray(center, jnp.float32)
+                rot = jnp.array([np.cos(theta), np.sin(theta)], jnp.float32)
+                t = jnp.asarray(target, jnp.float32) - lie.se2_rotate(
+                    jnp.concatenate([rot, jnp.zeros(2)]), center
+                )
+                se2 = jnp.concatenate([rot, t]).astype(jnp.float32)
+                align.SAMPLE_MXU_DTYPE = jnp.float32
+                gx, gy, wpts, inb = align._sample_grad_pair(
+                    grad, se2, center.astype(jnp.float32)
+                )
+                interior = (
+                    np.asarray(inb)
+                    & (np.asarray(wpts[:, 0]) >= 2) & (np.asarray(wpts[:, 0]) < w - 2)
+                    & (np.asarray(wpts[:, 1]) >= 2) & (np.asarray(wpts[:, 1]) < h - 2)
+                )
+                assert interior.sum() > 10, "degenerate case: nothing in-image"
+                ref_gx = np.asarray(interp.bicubic(grad[0], wpts[:, 1], wpts[:, 0]))
+                ref_gy = np.asarray(interp.bicubic(grad[1], wpts[:, 1], wpts[:, 0]))
+                np.testing.assert_allclose(
+                    np.asarray(gx)[interior], ref_gx[interior], atol=1e-4,
+                    err_msg=f"center {center} target {target} theta {theta}",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(gy)[interior], ref_gy[interior], atol=1e-4,
+                )
+                # production precision: bf16 MXU inputs with f32/f32-rounded
+                # accumulation stay within the input-rounding bound (~2^-8
+                # relative on O(1) gradients) of the exact f32 sampler
+                align.SAMPLE_MXU_DTYPE = jnp.bfloat16
+                bgx, bgy, _, _ = align._sample_grad_pair(
+                    grad, se2, center.astype(jnp.float32)
+                )
+                scale = max(1.0, float(np.abs(ref_gx[interior]).max()))
+                np.testing.assert_allclose(
+                    np.asarray(bgx)[interior], ref_gx[interior],
+                    atol=2e-2 * scale,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(bgy)[interior], ref_gy[interior],
+                    atol=2e-2 * scale,
+                )
+        finally:
+            align.SAMPLE_MXU_DTYPE = saved_md
 
     def test_analytic_linearization_matches_autodiff(self, rng):
         """alignment_linearize must produce the same (r, J) as forward-mode
