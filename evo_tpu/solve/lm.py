@@ -121,7 +121,7 @@ def _solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "residual_fn", "retract", "tangent_dim", "num_iters", "block_size",
-        "huber_delta", "max_step", "linearize_fn",
+        "huber_delta", "max_step", "linearize_fn", "travel_fn", "max_travel",
     ),
 )
 def lm_solve(
@@ -142,6 +142,8 @@ def lm_solve(
     max_step: float | None = None,
     linearize_fn: Callable | None = None,
     active: jax.Array | None = None,
+    travel_fn: Callable | None = None,
+    max_travel: float | None = None,
 ) -> LMResult:
     """Dense damped Gauss-Newton / LM with fixed trip count.
 
@@ -170,6 +172,14 @@ def lm_solve(
         converges, so masked-out lanes (e.g. non-ready patches whose results
         are discarded anyway) must not gate the batch's trip count with
         garbage-data iterations.
+    travel_fn / max_travel : optional cumulative-travel cap. `travel_fn(x,
+        x0, data) -> scalar` measures how far a candidate point has moved from
+        the start in problem-specific units (e.g. warped-center pixels); any step
+        whose candidate exceeds `max_travel` is rejected (lambda grows, like
+        a failed cost decrease). Guards residuals that are only valid in a
+        bounded region around x0 — the patch alignment's gradient window is
+        anchored at the initial warp, so a solve must not out-travel the
+        window's slack (see tracker.align._solve_one).
     """
     if retract is None:
         assert tangent_dim is None or tangent_dim == jnp.size(x0)
@@ -238,6 +248,8 @@ def lm_solve(
         r_new, J_new = linearize(x_new)
         A_new, g_new, cost_new = normal_eq(r_new, J_new)
         accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+        if travel_fn is not None and max_travel is not None:
+            accept = accept & (travel_fn(x_new, x0, data) <= max_travel)
         # Ceres-style convergence: an accepted step whose relative cost
         # drop falls under function_tolerance ends the solve (under vmap,
         # converged problems mask out and the batch exits at the LAST

@@ -27,6 +27,7 @@ Semantics mirrored from the reference:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import lru_cache
 
 import jax
@@ -102,11 +103,29 @@ def _patch_abs_coords(center):
 # support, and 64 is MXU/VPU lane-width friendly.
 GRAD_WINDOW = 64
 
-# Input dtype of the sampler's MXU contractions (accumulation is always
-# f32 via preferred_element_type). bfloat16 runs the K=64 contraction at
-# twice the f32 systolic rate; set to jnp.float32 to fall back to exact
-# f32 sampling (the PRECISION.json A/B shows the tracking-quality impact).
-SAMPLE_MXU_DTYPE = jnp.bfloat16
+# INPUT dtype of the sampler's MXU contraction (accumulation and all
+# intermediates stay f32 via preferred_element_type — a non-f32 choice is
+# input-only). bfloat16 inputs run the K=64 contraction at twice the f32
+# systolic rate, but the rounding does not commute between the analytic and
+# autodiff derivative paths (each rounds dtaps·du at a different point), so
+# the analytic Jacobian drifts up to ~10% relative from autodiff — and the
+# measured end-to-end speed/quality trade did not earn the cut (A/B in
+# PRECISION.json, "sampler_mxu_dtype"). The default is therefore exact f32,
+# matching the reference's f64-everywhere stance (optimizer.cpp:102-114)
+# within f32; set EVO_SAMPLE_MXU_DTYPE=bfloat16 before import to opt in.
+SAMPLE_MXU_DTYPE = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+    os.environ.get("EVO_SAMPLE_MXU_DTYPE", "float32")
+]
+
+# A solve's gradient window is anchored at the initial warp; the warped
+# rect (corner radius PATCH_EXTENT*sqrt(2) ~ 17 px) plus bicubic support
+# (2 px) plus origin rounding (0.5 px) leaves GRAD_WINDOW/2 - 19.5 ~ 12.5
+# px of slack. Cumulative in-solve travel of the warped center is capped
+# below that so every accepted iterate samples a fully-supported window —
+# without the cap, a runaway step can leave the window while staying
+# "in image", zero every tap, and collapse the cost to ~0.26 < the 0.6
+# LOST threshold (a silent spurious optimum).
+MAX_SOLVE_TRAVEL = 12.0
 
 
 def slice_grad_window(grad2, se2, center):
@@ -165,32 +184,30 @@ def _sample_grad_win(win, ox, oy, h, w, se2, center,
     # N-dimension at 128 (two separate [·, S] matmuls would each pad S=64
     # lanes up to 128 and waste half the array)
     win_hm = jnp.transpose(win, (1, 0, 2)).reshape(GRAD_WINDOW, 2 * GRAD_WINDOW)
-    # MXU inputs in SAMPLE_MXU_DTYPE (f32 accumulate): bf16 doubles the
-    # systolic-array rate and halves the operand bandwidth of the solve's
-    # hot matmul. Tap weights are in [0, 1] and gradients O(1), so the
-    # ~2^-8 bf16 input rounding perturbs the sampled value ~0.4% — an
-    # order below the residual's Huber scale (0.3); the tracking-quality
-    # A/B lives in PRECISION.json ("sampler_mxu_dtype").
+    # MXU inputs in SAMPLE_MXU_DTYPE, f32 accumulate and f32 store: bf16
+    # inputs double the systolic-array rate and halve operand bandwidth of
+    # the solve's hot matmul, while preferred_element_type=f32 keeps the
+    # [(S²), 2G] intermediates exact w.r.t. the rounded inputs. Storing tmp
+    # in bf16 as well (a second rounding) was tried and reverted: the
+    # analytic and autodiff derivative paths round that second step
+    # differently and drift ~5-10% apart (round-3 regression).
     md = SAMPLE_MXU_DTYPE
     win_md = win_hm.astype(md)
-    # tmp/tmpd also STORE in `md`: the [(S²), 2G] intermediates are the
-    # solve's HBM traffic (40 MB per 128-lane trip in f32) and the row-dot
-    # consumers re-read them once — at bf16 both directions halve
     tmp = jnp.einsum("nh,hm->nm", ty.astype(md), win_md,
-                     preferred_element_type=md)
-    gx = jnp.sum(tx * tmp[:, :GRAD_WINDOW].astype(jnp.float32), axis=-1)
-    gy = jnp.sum(tx * tmp[:, GRAD_WINDOW:].astype(jnp.float32), axis=-1)
+                     preferred_element_type=jnp.float32)
+    gx = jnp.sum(tx * tmp[:, :GRAD_WINDOW], axis=-1)
+    gy = jnp.sum(tx * tmp[:, GRAD_WINDOW:], axis=-1)
     if not with_derivs:
         return gx, gy, wpts, inb
     # spatial derivatives of the interpolant via derivative taps — ONE extra
     # matmul (tmpd) + row-dots, vs a forward-mode pass that materializes a
     # [T, N, S] tangent tensor per patch
     tmpd = jnp.einsum("nh,hm->nm", lyd.astype(md), win_md,
-                      preferred_element_type=md)
-    gx_x = jnp.sum(lxd * tmp[:, :GRAD_WINDOW].astype(jnp.float32), axis=-1)
-    gy_x = jnp.sum(lxd * tmp[:, GRAD_WINDOW:].astype(jnp.float32), axis=-1)
-    gx_y = jnp.sum(tx * tmpd[:, :GRAD_WINDOW].astype(jnp.float32), axis=-1)
-    gy_y = jnp.sum(tx * tmpd[:, GRAD_WINDOW:].astype(jnp.float32), axis=-1)
+                      preferred_element_type=jnp.float32)
+    gx_x = jnp.sum(lxd * tmp[:, :GRAD_WINDOW], axis=-1)
+    gy_x = jnp.sum(lxd * tmp[:, GRAD_WINDOW:], axis=-1)
+    gx_y = jnp.sum(tx * tmpd[:, :GRAD_WINDOW], axis=-1)
+    gy_y = jnp.sum(tx * tmpd[:, GRAD_WINDOW:], axis=-1)
     return gx, gy, wpts, inb, (gx_x, gy_x, gx_y, gy_y)
 
 
@@ -302,15 +319,27 @@ def _win_solve_fns(h, w):
     return residual, linearize
 
 
+def _warped_center_travel(params5, params0, data):
+    """Distance (px) the SE(2)-warped patch center has moved from its value
+    at the solve's start — the anchored window's travel metric. Module-level
+    (not a per-call closure) so lm_solve's static-arg jit cache stays warm."""
+    center = data[4]
+    c_new = lie.se2_apply(params5[0:4], center)
+    c_0 = lie.se2_apply(params0[0:4], center)
+    return jnp.linalg.norm(c_new - c_0)
+
+
 def _solve_one(params5, data, active=None):
     # slice the gradient window ONCE per solve, anchored at the initial
     # warp: under vmap a per-lane dynamic_slice lowers to P serialized tiny
     # kernels, and paying that on every while-loop trip dominated the whole
     # solve (device trace: ~70% of the scan in slice/update microkernels).
-    # Within-solve travel is ~1-2 px against the window's ≥14 px slack, so
-    # anchoring at x0 samples identically to per-trip re-slicing except for
-    # extreme single-solve travel — where the trust region (max_step) and
-    # the in-image mask still bound the result.
+    # Within-solve travel is ~1-2 px against the window's ~12.5 px slack, so
+    # anchoring at x0 samples identically to per-trip re-slicing; the
+    # travel_fn cap below makes that an invariant rather than a typical-case
+    # assumption (steps that would out-travel the window are rejected, so
+    # the zero-tap region outside the window can never masquerade as a
+    # low-cost optimum).
     norm_int, grad2, center = data
     win, ox, oy = slice_grad_window(grad2, params5[0:4], center)
     residual_fn, linearize_fn = _win_solve_fns(
@@ -332,6 +361,8 @@ def _solve_one(params5, data, active=None):
         # image (where all residuals are zeroed => spurious global optimum)
         max_step=float(ps.PATCH_EXTENT) / 2.0,
         active=active,
+        travel_fn=_warped_center_travel,
+        max_travel=MAX_SOLVE_TRAVEL,
     )
     return res.x, 0.5 * res.cost  # Ceres' final_cost convention
 
