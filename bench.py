@@ -38,15 +38,18 @@ def _enable_cache() -> None:
         pass
 
 
-def bench_decode() -> float:
-    """Best-of decode throughput in Mevents/s (one chip)."""
+def _decode_rate(n: int, reps: int, rounds: int = 5) -> float:
+    """Best-of decode throughput (Mev/s) of the production matmul-bilinear
+    splat at a given events-per-dispatch batch size — ONE harness for every
+    batch size so the numbers are comparable (VERDICT r3 'honest decode
+    number': the r3 artifact timed the same kernel two different ways and
+    got a 6x spread; batch size and chaining are the whole difference)."""
     import jax.numpy as jnp
 
     from evo_tpu.kernels.splat import splat_image
 
     H, W = 180, 240
-    n = 1 << 22  # 4.2M events per call
-    chunk = 8192
+    chunk = min(8192, n)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, W - 1, n), jnp.float32)
     y = jnp.asarray(rng.uniform(0, H - 1, n), jnp.float32)
@@ -58,9 +61,8 @@ def bench_decode() -> float:
     img = splat_image(x, y, w, H, W, mode="bilinear", chunk=chunk)
     float(jnp.sum(img))
 
-    reps = 30
     best = 0.0
-    for _ in range(5):
+    for _ in range(rounds):
         t0 = time.perf_counter()
         wv = w
         for _ in range(reps):
@@ -72,14 +74,37 @@ def bench_decode() -> float:
     return best
 
 
+def bench_decode() -> dict:
+    """Decode throughput at three batch sizes, one methodology:
+
+    - batch_4m: the headline saturated-chip number (north star vs the
+      1 Mev/s DAVIS240C real-time arrival rate);
+    - batch_1m: the read-chunk size of the reference's event reader
+      (davis240c_reader.cpp:14);
+    - window_15k: the PRODUCTION dispatch shape — one compensation window
+      (evaluator.h:21-22) per dispatch, where the fixed per-dispatch cost
+      (host dispatch + tunnel) dominates the 15 us of device compute. The
+      spread between window_15k and batch_4m is dispatch overhead, which is
+      why the pipeline batches whole windows per device call.
+    """
+    return {
+        "batch_4m": round(_decode_rate(1 << 22, reps=30), 2),
+        "batch_1m": round(_decode_rate(1 << 20, reps=30), 2),
+        "window_15k": round(_decode_rate(15_000, reps=30), 2),
+    }
+
+
 def bench_decode_variants() -> dict:
     """Honesty check (VERDICT r1 item 8): the separable-matmul splat does
     H·W MACs per event for ~4 useful taps, so time the exact-taps
     alternatives on the same workload — scatter-add and sort-by-pixel +
     segment_sum (SURVEY §7 hard part 1) and the hand-scheduled Pallas
-    kernel. Measured on TPU v5e: matmul ~700, Pallas ~340, scatter ~135,
-    segment-sum ~8-38 Mev/s — random scatter loses to MXU redundancy by
-    5-90x, so the matmul variant stays wired into sharded_splat."""
+    kernel. SAME harness as bench_decode (1M events, chained reps,
+    best-of-rounds) so the matmul row here and bench_decode's batch_1m row
+    are the same measurement — the r3 artifact timed them differently and
+    carried a 6x same-kernel discrepancy. Random scatter loses to MXU
+    redundancy by 5-90x, so the matmul variant stays wired into
+    sharded_splat."""
     import jax
     import jax.numpy as jnp
 
@@ -100,24 +125,29 @@ def bench_decode_variants() -> dict:
         ].add(w)
     )
     variants = {
-        "matmul_bilinear": lambda: splat_image(x, y, w, H, W, chunk=8192),
-        "pallas_bilinear": lambda: splat_image_pallas(x, y, w, H, W, chunk=4096),
-        "pallas_gaussian": lambda: splat_image_pallas(
-            x, y, w, H, W, chunk=4096, mode="gaussian"
+        "matmul_bilinear": lambda wv: splat_image(x, y, wv, H, W, chunk=8192),
+        "pallas_bilinear": lambda wv: splat_image_pallas(x, y, wv, H, W, chunk=4096),
+        "pallas_gaussian": lambda wv: splat_image_pallas(
+            x, y, wv, H, W, chunk=4096, mode="gaussian"
         ),
-        "segment_sorted": lambda: splat_image_segment(x, y, w, H, W),
-        "scatter_nearest": lambda: scatter(x, y, w),
+        "segment_sorted": lambda wv: splat_image_segment(x, y, wv, H, W),
+        "scatter_nearest": lambda wv: scatter(x, y, wv),
     }
     out = {}
     for name, fn in variants.items():
-        img = fn()
+        img = fn(w)
         float(jnp.sum(img))
-        reps = 5
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            img = fn()
-        float(jnp.sum(img))
-        out[name] = round(n * reps / (time.perf_counter() - t0) / 1e6, 1)
+        reps = 5 if name == "segment_sorted" else 30
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wv = w
+            for _ in range(reps):
+                img = fn(wv)
+                wv = wv + 0.0 * img[0, 0]  # serialize the chain
+            float(jnp.sum(img))
+            best = max(best, n * reps / (time.perf_counter() - t0) / 1e6)
+        out[name] = round(best, 1)
     return out
 
 
@@ -139,15 +169,20 @@ def _sim_dataset_dir() -> str:
 
 def bench_pipeline() -> dict:
     """Warm full-pipeline run: returns stream/wall seconds, events/s,
-    real-time multiple, and per-stage host timings."""
+    real-time multiple, and per-stage host timings. Also records the
+    temporal-batch A/B (VERDICT r3 item 7): the sequence-parallel
+    compensation path (EvaluatorParams.temporal_batch — W windows solved in
+    one dispatch, dist.temporal) measured against the default per-window
+    cadence on this single chip, so the default is a recorded decision
+    rather than a dead code path."""
     from evo_tpu.io.davis import Davis240cDataset
     from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
 
     path = _sim_dataset_dir()
 
-    def run_once():
+    def run_once(**kw):
         ds = Davis240cDataset(path)
-        ev = Evaluator(ds, EvaluatorParams(output_dir="/tmp/evo_bench_out"))
+        ev = Evaluator(ds, EvaluatorParams(output_dir="/tmp/evo_bench_out", **kw))
         t0 = time.perf_counter()
         ev.run()
         ev.flush_pending()
@@ -157,11 +192,16 @@ def bench_pipeline() -> dict:
     os.makedirs("/tmp/evo_bench_out", exist_ok=True)
     run_once()  # compile warmup
     best = None
-    for _ in range(2):
+    for _ in range(3):
         ev, wall = run_once()
         if best is None or wall < best[1]:
             best = (ev, wall)
     ev, wall = best
+
+    # temporal-batch A/B (2 runs, best): same pipeline, compensation windows
+    # buffered 4-deep and solved in one vmapped dispatch
+    run_once(temporal_batch=4)  # compile warmup for the batched program
+    tb_wall = min(run_once(temporal_batch=4)[1] for _ in range(2))
     s = ev.counters.summary()
     n_events = s.get("events", 0)
     n_frames = s.get("frames", 0)
@@ -178,6 +218,15 @@ def bench_pipeline() -> dict:
         "stage_s": {
             k[5:-2]: s[k] for k in s if k.startswith("time_")
         },
+        "temporal_batch_ab": {
+            "batch": 4,
+            "wall_s": round(tb_wall, 3),
+            "rt_multiple": round(stream_s / tb_wall, 3) if tb_wall > 0 else 0.0,
+            "note": "P3 sequence-parallel compensation on ONE chip; the "
+                    "window axis pays off on a multi-chip batch mesh "
+                    "(dist.temporal parity in tests/test_dist.py), default "
+                    "follows whichever wall is lower here",
+        },
     }
 
 
@@ -190,9 +239,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "event_decode_throughput",
-                "value": round(decode, 2),
+                "value": decode["batch_4m"],
                 "unit": "Mevents/s/chip",
-                "vs_baseline": round(decode / 1.0, 2),
+                "vs_baseline": decode["batch_4m"],
+                "decode_by_batch": decode,
                 "pipeline": pipe,
                 "decode_variants": variants,
             }

@@ -290,13 +290,11 @@ def write_scaling_artifact(path: str = "SCALING.json", **kwargs) -> dict:
             "time-sharing), not by the communication design. "
             "comm_efficiency isolates the collective/shard overhead at "
             "equal physical resources and equal total work; it is the "
-            "predictor for real pod-slice weak scaling. Caveat for "
-            "tile_solve at high virtual-device counts: every shard "
-            "replicate-solves the identical psum'd (2T x 2T) damped normal "
-            "system (SPMD), so an n-way virtual mesh pays n x that "
-            "cho_factor on the same physical cores — redundant compute "
-            "that is free on real chips (each shard owns one) but reads "
-            "as sub-1 comm_efficiency here."
+            "predictor for real pod-slice weak scaling. tile_solve ships "
+            "compressed per-tile/per-edge system pieces by all_gather and "
+            "factorizes the tiny dense system on ONE device (psum "
+            "broadcast), so no replicated assembly/cho_factor inflates the "
+            "virtual-mesh numbers (the round-3 8-device collapse)."
         ),
         "scaling": {str(k): v for k, v in res.items()},
         "pipeline_collectives": {

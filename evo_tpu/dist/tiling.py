@@ -19,6 +19,7 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from evo_tpu.dist.mesh import BATCH_AXIS, SPACE_AXIS
@@ -97,11 +98,14 @@ def sharded_tile_solve_data(
     Jacobian) only for its own tile columns. The TV coupling across a shard
     boundary (`feature_detector.cpp:369-396`) reads the right neighbor's
     first velocity column via `halo.exchange_halo` (ppermute over ICI). The
-    damped normal system is tiny (2T x 2T, T = ty*tx = 108 on DAVIS240C), so
-    each device scatters its local contributions at *global* tile indices,
-    a single `psum` replicates the full (A, b), and every device solves the
-    identical system — the update is exact, not block-Jacobi, and matches
-    the 1-device solve up to summation order.
+    collective ships only the COMPRESSED system pieces — per-tile 2x2
+    blocks, per-tile gradient terms, and per-owned-edge TV terms, ~(6T+3E)/n
+    floats per device via all_gather — never the assembled dense [2T, 2T]
+    matrix (psum'ing that full matrix from every device was the 8-device
+    collapse recorded in SCALING_r03). Every device then assembles and
+    solves the identical tiny damped system (2T x 2T, T = ty*tx = 108 on
+    DAVIS240C) from the gathered pieces — the update is exact, not
+    block-Jacobi, and matches the 1-device solve up to summation order.
 
     tile_data: the per-tile pytree from `compensate.compensate_window`,
     leading dim T = ty*tx, row-major (tid = tiy*tx + tix); tx must be
@@ -149,23 +153,13 @@ def _build_tile_solver(mesh, ty, tx, tile, scale, tv_weight, tv_huber,
         ldata = jax.tree.map(
             lambda a: a.reshape((ty * txl,) + a.shape[2:]), gdata
         )
-        # global flat tile ids of the local tiles, [ty*txl]
-        gi = jnp.arange(ty)[:, None] * tx + dev * txl + jnp.arange(txl)[None, :]
-        gid = gi.reshape(-1)
-
-        # owned TV edges at global ids (left/top endpoint owns the edge):
-        # vertical (i,j)-(i+1,j) all local cols; horizontal interior
-        # (i,j)-(i,j+1) for j < txl-1; boundary (i,txl-1)-(i, right nbr col 0)
-        v_edges_p = gi[:-1, :].reshape(-1)
-        v_edges_q = gi[1:, :].reshape(-1)
-        h_edges_p = gi[:, :-1].reshape(-1) if txl > 1 else jnp.zeros(0, gi.dtype)
-        h_edges_q = gi[:, 1:].reshape(-1) if txl > 1 else jnp.zeros(0, gi.dtype)
-        b_edges_p = gi[:, -1]
-        b_edges_q = jnp.minimum(gi[:, -1] + 1, T - 1)  # clipped; masked below
+        # owned TV edges (left/top endpoint owns the edge): vertical
+        # (i,j)-(i+1,j) all local cols; horizontal interior (i,j)-(i,j+1)
+        # for j < txl-1; boundary (i,txl-1)-(i, right nbr col 0). Only the
+        # VALIDITY mask is device-dependent here — the global index lists
+        # live in the static ep_g/eq_g tables below.
+        n_vh = (ty - 1) * txl + ty * (txl - 1)
         has_right = dev < n_space - 1
-        ep_all = jnp.concatenate([v_edges_p, h_edges_p, b_edges_p])
-        eq_all = jnp.concatenate([v_edges_q, h_edges_q, b_edges_q])
-        n_vh = v_edges_p.shape[0] + h_edges_p.shape[0]
         edge_ok = jnp.concatenate(
             [
                 jnp.ones(n_vh, bool),
@@ -201,38 +195,98 @@ def _build_tile_solver(mesh, ty, tx, tile, scale, tv_weight, tv_huber,
         def global_cost(v_loc):
             return jax.lax.psum(local_cost(v_loc), SPACE_AXIS)
 
-        def step(state, _):
-            v, lam, cost = state
+        # global edge index lists of EVERY device's owned edges, in the
+        # exact order each device emits them ([n_space, E_l] static hosts
+        # constants) — lets the all-gathered per-edge (w2, d) pieces scatter
+        # into the dense system without shipping index arrays over ICI
+        def _dev_edges(d_):
+            g = np.arange(ty)[:, None] * tx + d_ * txl + np.arange(txl)[None, :]
+            vp, vq = g[:-1, :].reshape(-1), g[1:, :].reshape(-1)
+            if txl > 1:
+                hp, hq = g[:, :-1].reshape(-1), g[:, 1:].reshape(-1)
+            else:
+                hp = hq = np.zeros(0, np.int64)
+            bp = g[:, -1]
+            bq = np.minimum(g[:, -1] + 1, T - 1)
+            return (np.concatenate([vp, hp, bp]), np.concatenate([vq, hq, bq]))
+
+        ep_g = jnp.asarray(np.stack([_dev_edges(d_)[0] for d_ in range(n_space)]))
+        eq_g = jnp.asarray(np.stack([_dev_edges(d_)[1] for d_ in range(n_space)]))
+
+        def step(state):
+            v, lam, cost, it, done = state
             r, J = jax.vmap(
                 lambda vi, di: (res_fn(vi, di), jax.jacfwd(res_fn)(vi, di))
             )(v, ldata)
-            A = jnp.zeros((2 * T, 2 * T), v.dtype)
-            b = jnp.zeros(2 * T, v.dtype)
             JJ = J[:, :, None] * J[:, None, :]  # [Tl, 2, 2]
-            rows = (2 * gid)[:, None, None] + jnp.arange(2)[None, :, None]
-            cols = (2 * gid)[:, None, None] + jnp.arange(2)[None, None, :]
-            A = A.at[rows, cols].add(JJ)
-            b = b.at[(2 * gid)[:, None] + jnp.arange(2)[None, :]].add(
-                J * r[:, None]
-            )
+            Jr = J * r[:, None]  # [Tl, 2]
             d = edge_diffs(v)
             s = jnp.sum((tv_weight * jnp.abs(d)) ** 2, axis=1)
             omega = huber_weights(s, tv_huber)
             w2 = jnp.where(edge_ok, omega * tv_weight * tv_weight, 0.0)
-            p_, q_ = ep_all, eq_all
-            for c in range(2):
-                A = A.at[2 * p_ + c, 2 * p_ + c].add(w2)
-                A = A.at[2 * q_ + c, 2 * q_ + c].add(w2)
-                A = A.at[2 * p_ + c, 2 * q_ + c].add(-w2)
-                A = A.at[2 * q_ + c, 2 * p_ + c].add(-w2)
-                b = b.at[2 * p_ + c].add(w2 * d[:, c])
-                b = b.at[2 * q_ + c].add(-w2 * d[:, c])
-            A = jax.lax.psum(A, SPACE_AXIS)
-            b = jax.lax.psum(b, SPACE_AXIS)
-            diag = jnp.clip(jnp.diag(A), 1e-8, None)
-            A_d = A + lam * jnp.diag(diag)
-            L, low = jax.scipy.linalg.cho_factor(A_d, lower=True)
-            delta = -jax.scipy.linalg.cho_solve((L, low), b)
+            # COMPRESSED collective (VERDICT r3 item 4): all-gather the
+            # per-tile 2x2 blocks, per-tile gradient pieces, and per-owned-
+            # edge TV terms — ~(6T + 3E)/n floats per device — instead of
+            # psum'ing a dense [2T, 2T] system every device had fully
+            # assembled (T² floats each; the 8-device collapse in
+            # SCALING_r03 was that redundant assembly + reduction). The
+            # dense system is then built once per device from identical
+            # gathered pieces, so the update stays EXACT, not block-Jacobi.
+            JJ_g = jax.lax.all_gather(JJ, SPACE_AXIS)  # [n, Tl, 2, 2]
+            Jr_g = jax.lax.all_gather(Jr, SPACE_AXIS)  # [n, Tl, 2]
+            w2_g = jax.lax.all_gather(w2, SPACE_AXIS).reshape(-1)  # [n*E_l]
+            d_g = jax.lax.all_gather(d, SPACE_AXIS).reshape(-1, 2)
+            # local tiles are column blocks: device d_ owns grid cols
+            # [d_*txl, (d_+1)*txl); reorder [n, ty, txl] -> flat [T]
+            def grid_order(a):
+                return (
+                    a.reshape((n_space, ty, txl) + a.shape[2:])
+                    .transpose((1, 0, 2) + tuple(range(3, a.ndim + 1)))
+                    .reshape((T,) + a.shape[2:])
+                )
+
+            JJ_full = grid_order(JJ_g)  # [T, 2, 2]
+            Jr_full = grid_order(Jr_g)  # [T, 2]
+
+            # The global damped solve is inherently serial (one tiny dense
+            # system for the whole grid), so exactly ONE device assembles
+            # and factorizes it — lax.cond skips the branch everywhere else
+            # — and a [2T]-float psum broadcasts the update. Replicating
+            # the cho_factor on every shard (SPMD default) is wasted energy
+            # on real chips and, on a virtual CPU mesh, n x redundant work
+            # on the same cores — the residual gap after the compressed
+            # collective in SCALING_r03's 8-device collapse.
+            def assemble_and_solve(_):
+                A = jnp.zeros((2 * T, 2 * T), v.dtype)
+                b = jnp.zeros(2 * T, v.dtype)
+                allt = jnp.arange(T)
+                rows = (2 * allt)[:, None, None] + jnp.arange(2)[None, :, None]
+                cols = (2 * allt)[:, None, None] + jnp.arange(2)[None, None, :]
+                A = A.at[rows, cols].add(JJ_full)
+                b = b.at[(2 * allt)[:, None] + jnp.arange(2)[None, :]].add(Jr_full)
+                p_, q_ = ep_g.reshape(-1), eq_g.reshape(-1)
+                # masked edges carry w2 = 0 and d = 0, so their
+                # (clipped-index) scatter contributions are exact no-ops
+                for c in range(2):
+                    A = A.at[2 * p_ + c, 2 * p_ + c].add(w2_g)
+                    A = A.at[2 * q_ + c, 2 * q_ + c].add(w2_g)
+                    A = A.at[2 * p_ + c, 2 * q_ + c].add(-w2_g)
+                    A = A.at[2 * q_ + c, 2 * p_ + c].add(-w2_g)
+                    b = b.at[2 * p_ + c].add(w2_g * d_g[:, c])
+                    b = b.at[2 * q_ + c].add(-w2_g * d_g[:, c])
+                diag = jnp.clip(jnp.diag(A), 1e-8, None)
+                A_d = A + lam * jnp.diag(diag)
+                L, low = jax.scipy.linalg.cho_factor(A_d, lower=True)
+                return -jax.scipy.linalg.cho_solve((L, low), b)
+
+            delta = jax.lax.cond(
+                dev == 0, assemble_and_solve,
+                # the zero branch must carry the same varying-manual-axes
+                # type as the solve branch (which inherits it from the
+                # gathered pieces)
+                lambda _: jnp.zeros(2 * T, v.dtype) + zv, None,
+            )
+            delta = jax.lax.psum(delta, SPACE_AXIS)  # broadcast from dev 0
             bad = ~jnp.all(jnp.isfinite(delta))
             delta = jnp.where(bad, 0.0, delta)
             # each device takes its own columns of the global update
@@ -243,18 +297,32 @@ def _build_tile_solver(mesh, ty, tx, tile, scale, tv_weight, tv_huber,
             v_new = v + d_loc
             cost_new = global_cost(v_new)
             accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+            # same Ceres-style early termination as the 1-device solve
+            # (compensate.solve_motion_field) — identical accept sequence,
+            # so sharded == single still holds window for window
+            rel_decrease = (cost - cost_new) / jnp.maximum(cost, 1e-12)
+            done = (accept & (rel_decrease < 1e-6)) | (lam > 1e5)
             v = jnp.where(accept, v_new, v)
             lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
             cost = jnp.where(accept, cost_new, cost)
-            return (v, lam, cost), None
+            return v, lam, cost, it + 1, done
 
         # derive the init from the sharded input so its varying-manual-axes
-        # type matches the body output (scan rejects an unvarying carry)
-        v0 = jnp.zeros((ty * txl, 2), jnp.float32) + 0.0 * ldata[0][0, 0]
+        # type matches the body output (all_gather results are varying-typed,
+        # so everything downstream of the assembly is too; while_loop rejects
+        # a carry whose in/out manual-axes types differ)
+        zv = 0.0 * ldata[0].ravel()[0]  # varying zero
+        v0 = jnp.zeros((ty * txl, 2), jnp.float32) + zv
         cost0 = global_cost(v0)
-        (v, _, cost), _ = jax.lax.scan(
-            step, (v0, jnp.float32(1e-4), cost0), None, length=max_iters
+        v, _, cost, _, _ = jax.lax.while_loop(
+            lambda s: (s[3] < max_iters) & ~s[4], step,
+            (v0, jnp.float32(1e-4) + zv, cost0 + zv, zv.astype(jnp.int32),
+             zv.astype(bool)),
         )
+        # every device holds the identical cost (assembled from identical
+        # gathered pieces); pmax re-replicates its varying type for the P()
+        # out_spec
+        cost = jax.lax.pmax(cost, SPACE_AXIS)
         # the sharded [ty, txl, 2] blocks concatenate into the full field
         # through the out_spec (P(None, space))
         return v.reshape(ty, txl, 2), cost, cost0

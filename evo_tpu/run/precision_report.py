@@ -111,12 +111,12 @@ def _assembly_errors(args):
 def _timed_solve(args, compensated: bool, iters: int = 30, reps: int = 3):
     from evo_tpu.vo import ba
 
-    p, l, c, c0 = ba.ba_solve(*args, num_iters=iters, compensated=compensated)
+    p, l, c, c0, _ = ba.ba_solve(*args, num_iters=iters, compensated=compensated)
     float(c)  # compile + land
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        p, l, c, c0 = ba.ba_solve(*args, num_iters=iters, compensated=compensated)
+        p, l, c, c0, _ = ba.ba_solve(*args, num_iters=iters, compensated=compensated)
         float(c)
         best = min(best, time.perf_counter() - t0)
     return np.asarray(p, np.float64), float(c), float(c0), best

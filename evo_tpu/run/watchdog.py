@@ -164,8 +164,17 @@ class HealthMonitor:
         return len(bad)
 
     # -- driver hook -------------------------------------------------------
-    def after_window(self, evaluator, mirror: dict | None = None) -> None:
-        """Call once per consumed frame window."""
+    def after_window(self, evaluator, mirror: dict | None = None,
+                     check_vo: bool = True) -> None:
+        """Call once per consumed frame window (main thread). With the async
+        VO worker active, pass `check_vo=False` and enqueue `vo_check_task`
+        on the worker instead — VO state is owned by that thread, so the
+        invariant check must run there, ordered after the keyframes it
+        guards. Under the pipelined drive a quarantine lands up to
+        `pipeline_depth` windows after the fault was injected (the mirrors
+        are consumed in batches); a NaN row is quiescent in the meantime
+        (non-finite centers route no events and solve nothing), so the delay
+        costs detection latency, not propagation."""
         self.windows += 1
         p = self.params
         if mirror is not None and self.windows % p.check_every == 0:
@@ -174,12 +183,23 @@ class HealthMonitor:
             )
             if bad.any():
                 self.quarantine_patches(evaluator.tracker, bad)
-            if evaluator.vo is not None and not self.check_vo(evaluator.vo):
+            if check_vo and evaluator.vo is not None \
+                    and not self.check_vo(evaluator.vo):
                 self.drop_bad_landmarks(evaluator.vo)
         if p.auto_checkpoint_every and self.windows % p.auto_checkpoint_every == 0:
             from evo_tpu.run import checkpoint
 
+            # drain the VO worker first: a checkpoint must snapshot a
+            # consistent (tracker, VO) pair, and VO keyframes for already-
+            # consumed windows may still be in flight on the worker
+            evaluator.sync_vo()
             checkpoint.save_checkpoint(p.checkpoint_path, evaluator)
+
+    def vo_check_task(self, evaluator) -> None:
+        """The VO half of `after_window`, shaped to run ON the VO worker
+        thread (queued after the keyframe submissions it validates)."""
+        if evaluator.vo is not None and not self.check_vo(evaluator.vo):
+            self.drop_bad_landmarks(evaluator.vo)
 
     def summary(self) -> dict:
         return dict(

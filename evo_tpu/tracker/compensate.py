@@ -217,8 +217,8 @@ def solve_motion_field(
         rho = jnp.where(n <= tv_huber, s, 2.0 * tv_huber * n - tv_huber**2)
         return jnp.sum(r * r) + jnp.sum(rho)
 
-    def step(state, _):
-        v, lam, cost = state
+    def step(state):
+        v, lam, cost, it, done = state
         r, J = tiles_r_J(v)  # [T], [T, 2]
         # normal equations A x = -b over flattened [2T]
         A = jnp.zeros((2 * T, 2 * T), v.dtype)
@@ -254,10 +254,19 @@ def solve_motion_field(
         v_new = v + delta.reshape(T, 2)
         cost_new = total_cost(v_new)
         accept = jnp.isfinite(cost_new) & (cost_new < cost) & ~bad
+        # Ceres-style early termination (function_tolerance 1e-6): each
+        # iteration re-splats every tile's events twice, so paying all
+        # `max_iters` trips when the solve converges in a handful was the
+        # single largest device cost of the pipeline (the reference's <=50
+        # is a CAP — Ceres stops on function_tolerance, and this solve is
+        # typically done in ~5-10 accepted steps). Damping past any useful
+        # scale (every recent step rejected) also ends the solve.
+        rel_decrease = (cost - cost_new) / jnp.maximum(cost, 1e-12)
+        done = (accept & (rel_decrease < 1e-6)) | (lam > 1e5)
         v = jnp.where(accept, v_new, v)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         cost = jnp.where(accept, cost_new, cost)
-        return (v, lam, cost), None
+        return v, lam, cost, it + 1, done
 
     # derive the init from the tile data so its varying-manual-axes type
     # matches the body output when this solve runs (vmapped) inside a
@@ -265,8 +274,10 @@ def solve_motion_field(
     v0 = jnp.zeros((T, 2), jnp.float32) + 0.0 * tile_data[0].ravel()[0]
     cost0 = total_cost(v0)
     lam0 = jnp.float32(1e-4) + 0.0 * cost0
-    (v, _, cost), _ = jax.lax.scan(
-        step, (v0, lam0, cost0), None, length=max_iters
+    done0 = (cost0 * 0.0).astype(bool)
+    v, _, cost, _, _ = jax.lax.while_loop(
+        lambda s: (s[3] < max_iters) & ~s[4], step,
+        (v0, lam0, cost0, (cost0 * 0.0).astype(jnp.int32), done0),
     )
     return v, cost, cost0
 

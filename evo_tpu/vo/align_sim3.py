@@ -46,14 +46,18 @@ def _align_points_sim3_jit(data, model):
     norms = jnp.sum(mc * mc)
     s = dots / jnp.maximum(norms, 1e-12)
     t = cd - s * (R @ cm)
-    return s, R, t
+    # quaternion extracted inside the same jit: the eager quat_from_matrix
+    # call cost a handful of ~1 ms micro-dispatches per keyframe
+    return s, R, t, lie.quat_from_matrix(R)
 
 
 def align_points_sim3(data: np.ndarray, model: np.ndarray):
     """Returns (sim3 [8] mapping model→data, ErrorMetric)."""
-    s, R, t = _align_points_sim3_jit(jnp.asarray(data, jnp.float32), jnp.asarray(model, jnp.float32))
+    s, R, t, q = _align_points_sim3_jit(
+        jnp.asarray(data, jnp.float32), jnp.asarray(model, jnp.float32)
+    )
     s, R, t = float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
-    q = np.asarray(lie.quat_from_matrix(jnp.asarray(R, jnp.float32)), np.float64)
+    q = np.asarray(q, np.float64)
     sim = np.concatenate([[s], q, t])
     aligned = (s * (model @ R.T)) + t
     errors = np.linalg.norm(data - aligned, axis=-1)

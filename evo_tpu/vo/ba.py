@@ -85,7 +85,7 @@ def ba_solve(
     f32-native answer to the reference's all-f64 Ceres assembly (SURVEY §7
     hard part 6). The LM path itself stays f32.
 
-    Returns (poses', landmarks', final_cost, initial_cost).
+    Returns (poses', landmarks', final_cost, initial_cost, iterations).
     """
     F = poses.shape[0]
     L = landmarks.shape[0]
@@ -192,7 +192,7 @@ def ba_solve(
     cost0 = robust_cost(poses, landmarks)
     init = (poses, landmarks, jnp.asarray(1e-4, dtype), cost0,
             jnp.int32(0), jnp.asarray(False))
-    poses, landmarks, _, cost, _, _ = jax.lax.while_loop(
+    poses, landmarks, _, cost, n_it, _ = jax.lax.while_loop(
         lambda s: (s[4] < num_iters) & ~s[5], step, init
     )
-    return poses, landmarks, cost, cost0
+    return poses, landmarks, cost, cost0, n_it

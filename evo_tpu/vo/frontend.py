@@ -106,8 +106,25 @@ def _triangulate_pix(intr, p1, p2, pose_w_1, pose_w_2):
 
 
 @jax.jit
-def _sim3_mul_se3_batch(sim_inv, gs):
+def _sim3_inv_mul_se3_batch(sim, gs):
+    """sim3_inverse + batched Sim3·SE3 in ONE jit: the inverse ran eagerly
+    before, and on this host every eager jnp op dispatches a ~1 ms
+    micro-program — 14 keyframes of eager sim3_inverse cost 0.27 s of the
+    bench pipeline (cProfile)."""
+    sim_inv = lie.sim3_inverse(sim)
     return jax.vmap(lie.sim3_mul_se3, in_axes=(None, 0))(sim_inv, gs)
+
+
+@jax.jit
+def _rel_to_first(zero_gt, gt):
+    """T_0⁻¹·T_gt in one jit (eager per-keyframe lie calls are dispatch-
+    latency-bound, see _sim3_inv_mul_se3_batch)."""
+    return lie.se3_compose(lie.se3_inverse(zero_gt), gt)
+
+
+@jax.jit
+def _se3_compose_jit(a, b):
+    return lie.se3_compose(a, b)
 
 
 class VisualOdometryFrontEnd:
@@ -171,9 +188,7 @@ class VisualOdometryFrontEnd:
             if not self.gt_list:
                 self.zero_gt = gt
             rel = np.asarray(
-                lie.se3_compose(
-                    lie.se3_inverse(jnp.asarray(self.zero_gt)), jnp.asarray(gt)
-                )
+                _rel_to_first(jnp.asarray(self.zero_gt), jnp.asarray(gt))
             )
             self.gt_list.append(rel)
             self.gt_aligned.append(rel)
@@ -188,12 +203,13 @@ class VisualOdometryFrontEnd:
         if len(poses) > 5 and self.gt_list:
             sim, ate = align_trajectories_sim3(self.gt_list, poses)
             self.last_ate = ate
-            sim_inv = lie.sim3_inverse(jnp.asarray(sim, jnp.float32))
             n = len(self.gt_list)
             gs = np.zeros((_bucket(n), 7), np.float32)
             gs[:, 0] = 1.0  # identity-pose padding keeps the math NaN-free
             gs[:n] = self.gt_list
-            aligned = np.asarray(_sim3_mul_se3_batch(sim_inv, jnp.asarray(gs)))[:n]
+            aligned = np.asarray(
+                _sim3_inv_mul_se3_batch(jnp.asarray(sim, jnp.float32), jnp.asarray(gs))
+            )[:n]
             self.gt_aligned = list(aligned.astype(np.float64))
             _log.info(
                 "ATE rmse=%.4f mean=%.4f max=%.4f min=%.4f",
@@ -255,9 +271,7 @@ class VisualOdometryFrontEnd:
         match.inliers = [t for t, ok in zip(shared, inl) if ok]
         # T_w_new = T_w_last · T_rel (unit-norm translation fixes scale)
         keyframe.pose = np.asarray(
-            lie.se3_compose(
-                jnp.asarray(start.pose, jnp.float32), pose_rel
-            ),
+            _se3_compose_jit(jnp.asarray(start.pose, jnp.float32), pose_rel),
             np.float64,
         )
         match.pose = keyframe.pose.copy()
@@ -415,7 +429,7 @@ class VisualOdometryFrontEnd:
         fixed[: min(2, F)] = True
         fixed[F:] = True  # padding frames pinned
 
-        new_poses, new_lms, cost, cost0 = ba.ba_solve(
+        new_poses, new_lms, cost, cost0, ba_iters = ba.ba_solve(
             jnp.asarray(poses), jnp.asarray(lms), self.intr,
             jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op), jnp.asarray(om),
             jnp.asarray(fixed),
@@ -445,7 +459,8 @@ class VisualOdometryFrontEnd:
             else:
                 self.stored_landmarks.append((t, self.map.landmarks.pop(t)))
                 self.map.observations.pop(t, None)
-        _log.info("BA: cost %.4f -> %.4f over %d obs", float(cost0), float(cost), O)
+        _log.info("BA: cost %.4f -> %.4f over %d obs, %d iters",
+                  float(cost0), float(cost), O, int(ba_iters))
 
     # -- GT ---------------------------------------------------------------
     def _sync_gt(self, t_us: int):

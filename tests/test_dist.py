@@ -202,6 +202,23 @@ class TestScaling:
             assert 2 in res[kernel], res
             assert res[kernel][2]["comm_efficiency"] >= 0.7, res
 
+    def test_tile_solve_efficiency_at_8(self):
+        """The tile solve must hold comm_efficiency at the FULL 8-device
+        mesh (VERDICT r3 item 4: 8-way was 0.407 — every shard psum'd and
+        re-factorized the dense [2T, 2T] system — and nothing gated it, so
+        it could regress silently; the compressed all_gather + single-device
+        factorize + [2T] psum broadcast restored > 1). The 0.8 bar of the
+        round-3 ask, with the smaller workload this gate runs (fewer LM
+        iterations than the SCALING artifact's sweep)."""
+        from evo_tpu.dist.multihost import measure_scaling_pipeline
+
+        res = measure_scaling_pipeline(
+            repeats=2, patches_per_device=8, events_per_window=4096,
+            counts=(8,),
+        )
+        row = res["tile_solve"][8]
+        assert row["comm_efficiency"] >= 0.8, res
+
 
 class TestDistributedPipeline:
     def test_full_pipeline_matches_single_device(self, square_dataset, tmp_path):

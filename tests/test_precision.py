@@ -138,8 +138,8 @@ class TestBaCompensated:
     def test_compensated_matches_plain_and_converges(self):
         rng = np.random.default_rng(4)
         args = self._problem(rng)
-        p1, l1, c1, c01 = ba.ba_solve(*args, num_iters=15)
-        p2, l2, c2, c02 = ba.ba_solve(*args, num_iters=15, compensated=True)
+        p1, l1, c1, c01, _ = ba.ba_solve(*args, num_iters=15)
+        p2, l2, c2, c02, _ = ba.ba_solve(*args, num_iters=15, compensated=True)
         # both reduce cost and agree to f32 working precision
         assert float(c1) < float(c01) and float(c2) < float(c02)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-3)

@@ -87,7 +87,7 @@ class TestBA:
 
         fixed = np.zeros(F, bool)
         fixed[:2] = True
-        poses_out, lms_out, cost, cost0 = ba.ba_solve(
+        poses_out, lms_out, cost, cost0, _ = ba.ba_solve(
             jnp.asarray(pert), jnp.asarray(pts_pert, jnp.float32), intr,
             jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op),
             jnp.ones(O, bool), jnp.asarray(fixed), num_iters=30,
@@ -106,7 +106,7 @@ class TestBA:
         F = poses_true.shape[0]
         fixed = np.zeros(F, bool)
         fixed[:2] = True
-        poses_out, _, _, _ = ba.ba_solve(
+        poses_out, _, _, _, _ = ba.ba_solve(
             poses_true, pts_true, intr,
             jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op),
             jnp.ones(len(of), bool), jnp.asarray(fixed), num_iters=5,
@@ -125,7 +125,7 @@ class TestBA:
         mask[::2] = False
         fixed = np.zeros(poses_true.shape[0], bool)
         fixed[:2] = True
-        _, _, cost, _ = ba.ba_solve(
+        _, _, cost, _, _ = ba.ba_solve(
             poses_true, pts_true, intr,
             jnp.asarray(of), jnp.asarray(ol), jnp.asarray(op_bad),
             jnp.asarray(mask), jnp.asarray(fixed), num_iters=3,

@@ -4,7 +4,10 @@ contraction dtypes (bf16 vs int8) and locate the scan's per-step cost."""
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

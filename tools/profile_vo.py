@@ -40,11 +40,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from evo_tpu.run import evaluator as ev_mod
     from evo_tpu.run.evaluator import Evaluator, EvaluatorParams
     from evo_tpu.io.davis import Davis240cDataset
     from evo_tpu.vo import frontend as fe
-    from evo_tpu.vo import align_sim3
 
     # wrap stages
     F = fe.VisualOdometryFrontEnd
