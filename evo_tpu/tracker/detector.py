@@ -823,18 +823,25 @@ class EventTracker:
         out = dict(framelog=framelog)
         if stacked is not None:
             out["stacked"] = stacked
-        # the DEVICE tree is returned un-fetched: every device->host pull
-        # through a remote-TPU tunnel costs a fixed ~66 ms round trip
-        # regardless of size, so the consumer batches SEVERAL windows'
-        # trees into one packed fetch (consume_frames) instead of paying
-        # one round trip per window
-        return int(img_t_us), ("fused_dev", out, k)
+        # pack the log tree NOW (the pack program enqueues right behind this
+        # window's fused step, so it only waits for work that already had
+        # to finish) and start the host copy asynchronously — the transfer
+        # streams through the tunnel while later windows compute, so the
+        # consumer's pull costs ~0 instead of a queue drain. Packing at
+        # CONSUME time (the round-3 batched-fetch design) enqueued the pack
+        # program behind every newer in-flight window — TPU programs run in
+        # launch order — so each fetch stalled on the whole pipeline depth,
+        # not just the windows being consumed.
+        return int(img_t_us), ("fused_async", fetch_async(out), k)
 
     def consume_frames(self, items: list) -> list:
-        """Consume several `process_frame_window` handles with ONE packed
-        device->host transfer (the per-pull tunnel round trip dominates the
-        whole window at production rates). `items`: [(frame_t_us, handle)]
-        in dispatch order. Returns the per-window mirrors."""
+        """Consume several `process_frame_window` handles. Each handle's log
+        tree was packed and its host copy STARTED at dispatch time
+        (`fused_async`), so this is a sequence of (usually already-landed)
+        buffer reads — no device program is enqueued here, which matters
+        because TPU programs execute in launch order and a consume-time pack
+        would stall on every newer in-flight window. `items`:
+        [(frame_t_us, handle)] in dispatch order. Returns the mirrors."""
         dev = {
             str(i): h[1] for i, (_, h) in enumerate(items)
             if h[0] == "fused_dev"
@@ -857,7 +864,7 @@ class EventTracker:
         if handle[0] == "fused_dev":
             _, tree, k = handle
             return self._consume_fused_pulled(frame_t_us, fetch(tree), k)
-        if handle[0] == "fused":
+        if handle[0] in ("fused", "fused_async"):
             _, h, k = handle
             pulled = h.get()
             return self._consume_fused_pulled(frame_t_us, pulled, k)
