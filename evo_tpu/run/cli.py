@@ -46,6 +46,15 @@ def main(argv=None) -> int:
                     help="enable failure detection/recovery (run.watchdog)")
     ap.add_argument("--auto-checkpoint-every", type=int, default=0,
                     help="windows between watchdog auto-checkpoints (0=off)")
+    ap.add_argument("--no-async-vo", action="store_true",
+                    help="process VO keyframes inline instead of on the "
+                         "worker thread (debugging aid; slower)")
+    ap.add_argument("--temporal-batch", type=int, default=0,
+                    help="buffer this many compensation windows and solve "
+                         "them in one dispatch sharded over the mesh batch "
+                         "axis (P3; 0 = per-window cadence)")
+    ap.add_argument("--pipeline-depth", type=int, default=8,
+                    help="max frame windows in flight on the device")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -67,6 +76,9 @@ def main(argv=None) -> int:
         run_compensation=not args.no_compensation,
         compensation_mode=args.compensation_mode,
         watchdog=args.watchdog or args.auto_checkpoint_every > 0,
+        async_vo=not args.no_async_vo,
+        temporal_batch=args.temporal_batch,
+        pipeline_depth=args.pipeline_depth,
     )
     if args.auto_checkpoint_every > 0:
         from evo_tpu.run.watchdog import WatchdogParams

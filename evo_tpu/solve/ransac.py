@@ -217,3 +217,17 @@ def refine_absolute_pose(pose_w_c, bearings, points, inliers, num_iters: int = 1
         num_iters=num_iters,
     )
     return out.x
+
+
+@jax.jit
+def refine_absolute_pose_reselect(pose_w_c, bearings, points, inliers,
+                                  threshold):
+    """refine_absolute_pose + inlier reselection in ONE dispatch (the
+    reference refines then re-selects, visual_odometry.cpp:255-276; the VO
+    frontend runs per keyframe on the host CPU backend, where each separate
+    dispatch costs ~1 ms of the critical path)."""
+    from evo_tpu.solve.p3p import reprojection_angle_residual
+
+    refined = refine_absolute_pose(pose_w_c, bearings, points, inliers)
+    r = reprojection_angle_residual(refined, bearings, points)
+    return refined, r < threshold

@@ -265,7 +265,7 @@ def _apply_flow_init(table: ps.PatchTable, flow_xy, status, h, w):
 
 
 def _fused_window_core(table: ps.PatchTable, grads, pstate: policy.PolicyState,
-                       ex, ey, et, ep, mask, img, prev_img, *,
+                       xyp, trel, offset, img, prev_img, *,
                        view_fn, slice_fn,
                        has_events, with_lk, lk_levels, lk_radius, h, w,
                        max_corners, quality_level, min_distance, block_size,
@@ -283,10 +283,13 @@ def _fused_window_core(table: ps.PatchTable, grads, pstate: policy.PolicyState,
     )
     stacked = None
     if has_events:
-        # newest detection-frame gradients for the in-scan budget update:
-        # the slot written by the PREVIOUS frame (frame numbers strictly
-        # increase, so argmax picks it; frame 0 reads the zero slot — same
-        # as the host path's initial _newest_slot = 0)
+        # the 8 B/event wire layout decodes INSIDE this dispatch (one fewer
+        # per-window program launch than a separate unpack call); newest
+        # detection-frame gradients for the in-scan budget update: the slot
+        # written by the PREVIOUS frame (frame numbers strictly increase,
+        # so argmax picks it; frame 0 reads the zero slot — same as the
+        # host path's initial _newest_slot = 0)
+        ex, ey, et, ep, mask = unpack_events(xyp, trel, offset)
         latest = grads[jnp.argmax(pstate.slot_birth)]
         table, stacked = align.process_window_scan(
             table, grads, ex, ey, et, ep, mask, latest
@@ -326,7 +329,7 @@ def _fused_window_core(table: ps.PatchTable, grads, pstate: policy.PolicyState,
     "max_patches", "association_distance",
 ))
 def _fused_window_step(table: ps.PatchTable, grads, pstate: policy.PolicyState,
-                       ex, ey, et, ep, mask, img, prev_img, *,
+                       xyp, trel, offset, img, prev_img, *,
                        has_events, with_lk, lk_levels, lk_radius, h, w,
                        max_corners, quality_level, min_distance, block_size,
                        border, max_patches, association_distance):
@@ -337,7 +340,7 @@ def _fused_window_step(table: ps.PatchTable, grads, pstate: policy.PolicyState,
     blocks on the device↔host tunnel (the remote-TPU equivalent of the
     reference's free-running callback loop, main.cpp:76-137)."""
     return _fused_window_core(
-        table, grads, pstate, ex, ey, et, ep, mask, img, prev_img,
+        table, grads, pstate, xyp, trel, offset, img, prev_img,
         view_fn=policy.view_of, slice_fn=lambda a: a,
         has_events=has_events, with_lk=with_lk, lk_levels=lk_levels,
         lk_radius=lk_radius, h=h, w=w, max_corners=max_corners,
@@ -369,7 +372,7 @@ def _sharded_fused_step(mesh, statics: tuple):
     sizes = (mesh.shape[SPACE_AXIS], mesh.shape[BATCH_AXIS])
     n_batch = mesh.shape[BATCH_AXIS]
 
-    def body(table, grads, pstate, ex, ey, et, ep, mask, img, prev_img):
+    def body(table, grads, pstate, xyp, trel, offset, img, prev_img):
         p_loc = table.capacity
         lin = (
             jax.lax.axis_index(SPACE_AXIS) * n_batch
@@ -380,7 +383,7 @@ def _sharded_fused_step(mesh, statics: tuple):
             return jax.lax.dynamic_slice_in_dim(a, lin * p_loc, p_loc, 0)
 
         return _fused_window_core(
-            table, grads, pstate, ex, ey, et, ep, mask, img, prev_img,
+            table, grads, pstate, xyp, trel, offset, img, prev_img,
             view_fn=lambda t: policy.gathered_view(t, axes, sizes),
             slice_fn=slice_fn,
             has_events=has_events, with_lk=with_lk, lk_levels=lk_levels,
@@ -396,7 +399,7 @@ def _sharded_fused_step(mesh, statics: tuple):
         in_specs=(
             P(axes),  # table (pytree prefix: every leaf's rows shard)
             P(), P(),  # grads, pstate (replicated)
-            P(), P(), P(), P(), P(),  # events (each shard routes them all)
+            P(), P(), P(),  # packed events xyp/trel/offset (replicated)
             P(), P(),  # img, prev_img
         ),
         out_specs=(
@@ -779,15 +782,11 @@ class EventTracker:
         if has_events:
             bounds = self._subbatch_bounds(t_us)
             xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds)
-            # decode the packed wire layout on device; the unpacked arrays
-            # feed _fused_window_step's (ex, ey, et, ep, mask) inputs
-            ex, ey, et, ep, mask = _unpack_jit(
-                jnp.asarray(xyp), jnp.asarray(trel), jnp.asarray(offset)
-            )
         else:
             cap = p.sub_batch_events
-            ex = ey = et = ep = np.zeros((1, cap), np.float32)
-            mask = np.zeros((1, cap), bool)
+            xyp = np.full((1, cap), -1, np.int32)
+            trel = np.zeros((1, cap), np.int32)
+            offset = np.float32(0.0)
             k = 0
         self.num_images += 1
         with_lk = self.prev_image is not None and self.num_images >= 2
@@ -802,14 +801,14 @@ class EventTracker:
             step = _sharded_fused_step(self.mesh, statics)
             self.table, self.grads, self.pstate, stacked, framelog = step(
                 self.table, self.grads, self.pstate,
-                jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(et),
-                jnp.asarray(ep), jnp.asarray(mask), img, prev,
+                jnp.asarray(xyp), jnp.asarray(trel), jnp.asarray(offset),
+                img, prev,
             )
         else:
             self.table, self.grads, self.pstate, stacked, framelog = _fused_window_step(
                 self.table, self.grads, self.pstate,
-                jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(et), jnp.asarray(ep),
-                jnp.asarray(mask), img, prev,
+                jnp.asarray(xyp), jnp.asarray(trel), jnp.asarray(offset),
+                img, prev,
                 has_events=has_events, with_lk=with_lk,
                 lk_levels=p.lk_levels, lk_radius=p.lk_radius,
                 h=self.height, w=self.width,

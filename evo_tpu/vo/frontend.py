@@ -289,22 +289,19 @@ class VisualOdometryFrontEnd:
         n = len(tracks)
         b = _bucket(n)
         threshold = 1.0 - np.cos(np.arctan2(self.params.reprojection_error_px, 200.0))
+        bear_p, pts_p = _pad2(bear, b), _pad2(pts, b)
         pose, res = ransac.absolute_pose_ransac(
-            self._next_key(), _pad2(bear, b), _pad2(pts, b), jnp.asarray(n),
+            self._next_key(), bear_p, pts_p, jnp.asarray(n),
             num_hypotheses=self.params.num_localize_hypotheses,
             threshold=float(threshold),
             valid_mask=jnp.arange(b) < n,
         )
-        # nonlinear refinement on the inliers + reselection (:255-276)
-        refined = ransac.refine_absolute_pose(
-            pose, _pad2(bear, b), _pad2(pts, b), res.inliers
+        # nonlinear refinement on the inliers + reselection (:255-276),
+        # fused into one dispatch
+        refined, inl_mask = ransac.refine_absolute_pose_reselect(
+            pose, bear_p, pts_p, res.inliers, float(threshold)
         )
-        from evo_tpu.solve.p3p import reprojection_angle_residual
-
-        r = np.asarray(
-            reprojection_angle_residual(refined, _pad2(bear, b), _pad2(pts, b))
-        )[:n]
-        inl = r < threshold
+        inl = np.asarray(inl_mask)[:n]
         pose_np = np.asarray(refined, np.float64)
         # sanity gate: a localization teleporting the camera outside the
         # map's scale is a degenerate P3P fit, not a pose — treat as failed
