@@ -280,8 +280,9 @@ class Evaluator:
         mirror = self.tracker.last_mirror
         if mirror is None:
             mirror = ps.host_mirror(self.tracker.table)
+        centers64 = mirror["center"].astype(np.float64)
         return {
-            int(mirror["track_id"][i]): mirror["center"][i].astype(np.float64)
+            int(mirror["track_id"][i]): centers64[i]
             for i in np.flatnonzero(mirror["alive"])
         }
 
@@ -375,8 +376,12 @@ class Evaluator:
                 # checks ride the worker queue below when async
                 self.monitor.after_window(self, mirror, check_vo=not vo_async)
             if frame_no > 2 and self.vo is not None:
+                # one vectorized f64 conversion; the per-row astype in the
+                # dict comprehension cost ~2400 tiny copies per run
+                centers64 = mirror["center"].astype(np.float64)
+                tids = mirror["track_id"]
                 lms = {
-                    int(mirror["track_id"][i]): mirror["center"][i].astype(np.float64)
+                    int(tids[i]): centers64[i]
                     for i in np.flatnonzero(mirror["alive"])
                 }
                 if lms:

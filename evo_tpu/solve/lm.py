@@ -122,6 +122,7 @@ def _solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
     static_argnames=(
         "residual_fn", "retract", "tangent_dim", "num_iters", "block_size",
         "huber_delta", "max_step", "linearize_fn", "travel_fn", "max_travel",
+        "ftol",
     ),
 )
 def lm_solve(
@@ -144,6 +145,7 @@ def lm_solve(
     active: jax.Array | None = None,
     travel_fn: Callable | None = None,
     max_travel: float | None = None,
+    ftol: float = 1e-6,
 ) -> LMResult:
     """Dense damped Gauss-Newton / LM with fixed trip count.
 
@@ -229,7 +231,9 @@ def lm_solve(
     # residuals like the patch alignment, the residual eval alone is ~half a
     # linearize of MXU/VPU work. Results are identical: a rejected step
     # re-solves the same normal equations the classic loop would rebuild.
-    ftol = 1e-6  # Ceres' function_tolerance default
+    # `ftol` defaults to Ceres' function_tolerance (1e-6); callers whose
+    # costs live at f32 scales and who re-solve warm (e.g. the per-window
+    # patch alignment) pass a looser value so converged lanes actually exit.
 
     def w_cond(state):
         _, _, _, _, _, _, it, done = state

@@ -40,6 +40,8 @@ from evo_tpu.tracker import patch_state as ps
 
 HUBER = 0.3
 MAX_LM_ITERS = 10
+# function tolerance of the per-patch alignment solve (see _solve_one)
+ALIGN_FTOL = 1e-4
 LOST_COST_THRESHOLD = 0.6
 TIME_WITHOUT_UPDATE_SCALE = 1.0  # seconds·px (reference 1e6 µs·px)
 
@@ -363,6 +365,14 @@ def _solve_one(params5, data, active=None):
         active=active,
         travel_fn=_warped_center_travel,
         max_travel=MAX_SOLVE_TRAVEL,
+        # each patch re-solves every ~10 ms of stream from a warm start, so
+        # late sub-1e-4-relative improvements are recovered one sub-batch
+        # later for free; at Ceres' 1e-6 virtually every lane ran the full
+        # 10 iterations (measured: 71/83 lanes at the cap), the batched
+        # while_loop exits at the LAST lane, and the wasted trips were the
+        # scan's largest cost. Quality A/B in PRECISION.json
+        # ("alignment_ftol").
+        ftol=ALIGN_FTOL,
     )
     return res.x, 0.5 * res.cost  # Ceres' final_cost convention
 
