@@ -40,7 +40,12 @@ class SimParams:
     contrast_threshold: float = 0.15  # DVS log-intensity step C
     substeps: int = 8  # render substeps per frame interval for event timing
     plane_depth: float = 2.0  # plane z in the world frame
-    texture_cells: int = 24  # checker-ish texture frequency
+    # checker-ish texture frequency for plane/3walls. For scene="shapes" it
+    # is the POLYGON COUNT of the wall (radii rescale by sqrt(12/cells), so
+    # covered area stays constant). Semantic change in round 4: the shapes
+    # scene used a fixed 12 polygons before; the default SimParams now draws
+    # 24 — pin texture_cells=12 to reproduce pre-r4 shapes scenes.
+    texture_cells: int = 24
     seed: int = 0
     # "plane": one fronto-parallel textured plane;
     # "3walls": three orthogonal textured walls meeting in a corner — the

@@ -344,6 +344,12 @@ class Evaluator:
         if comp and self._comp_windows:
             self._flush_temporal_batch()
         if comp and self._pending_comp:
+            # discarded futures still surface their exceptions: a dispatch
+            # error on the evo-comp worker for an earlier window must not be
+            # silently swallowed just because only the newest image is kept
+            for f in self._pending_comp[:-1]:
+                if f.done() and f.exception() is not None:
+                    raise f.exception()
             with self.counters.timed("compensation_consume"):
                 field, img, cost, cost0 = self._pending_comp[-1].result().get()
             self.motion_field = field
@@ -351,6 +357,9 @@ class Evaluator:
             _log.info("compensated window (cost %.1f -> %.1f)", cost0, cost)
             self._pending_comp = []
         elif len(self._pending_comp) > 1:
+            for f in self._pending_comp[:-1]:
+                if f.done() and f.exception() is not None:
+                    raise f.exception()
             self._pending_comp = self._pending_comp[-1:]
         if self._pending_frames:
             self._consume_frames(len(self._pending_frames))

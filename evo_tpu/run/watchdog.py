@@ -140,16 +140,28 @@ class HealthMonitor:
         _log.error("watchdog: %s — %s (window %d)", kind, detail, ev.window)
 
     # -- recovery ----------------------------------------------------------
-    def quarantine_patches(self, tracker, bad: np.ndarray) -> None:
+    def quarantine_patches(self, tracker, bad: np.ndarray,
+                           track_id: np.ndarray | None = None) -> None:
         """Kill the bad rows on device; the rest of the table is untouched.
         The tracker's normal lifecycle re-detects features on the next frame,
-        so tracking degrades for one window instead of dying."""
+        so tracking degrades for one window instead of dying.
+
+        `track_id` (the mirror's ids for the flagged rows) gates the kill on
+        identity: under the pipelined drive the mirror that flagged a row can
+        be up to pipeline_depth windows stale, and the row may since have
+        been evicted and re-seeded with a NEW healthy detection
+        (policy.py row reuse). Matching the device table's current track_id
+        against the mirror's means a reused row is left alone — the stale
+        fault died with the old occupant."""
         import jax.numpy as jnp
 
         if not bad.any():
             return
+        bad_dev = jnp.asarray(bad)
+        if track_id is not None:
+            bad_dev = bad_dev & (tracker.table.track_id == jnp.asarray(track_id))
         tracker.table = dataclasses.replace(
-            tracker.table, alive=tracker.table.alive & jnp.asarray(~bad)
+            tracker.table, alive=tracker.table.alive & ~bad_dev
         )
         self.recovered_patches += int(bad.sum())
 
@@ -182,7 +194,9 @@ class HealthMonitor:
                 mirror, max_live=evaluator.tracker.params.max_patches
             )
             if bad.any():
-                self.quarantine_patches(evaluator.tracker, bad)
+                self.quarantine_patches(
+                    evaluator.tracker, bad, track_id=mirror.get("track_id")
+                )
             if check_vo and evaluator.vo is not None \
                     and not self.check_vo(evaluator.vo):
                 self.drop_bad_landmarks(evaluator.vo)

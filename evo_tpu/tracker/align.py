@@ -115,9 +115,14 @@ GRAD_WINDOW = 64
 # PRECISION.json, "sampler_mxu_dtype"). The default is therefore exact f32,
 # matching the reference's f64-everywhere stance (optimizer.cpp:102-114)
 # within f32; set EVO_SAMPLE_MXU_DTYPE=bfloat16 before import to opt in.
-SAMPLE_MXU_DTYPE = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-    os.environ.get("EVO_SAMPLE_MXU_DTYPE", "float32")
-]
+_SAMPLE_MXU_CHOICES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+_sample_mxu_env = os.environ.get("EVO_SAMPLE_MXU_DTYPE", "float32")
+if _sample_mxu_env not in _SAMPLE_MXU_CHOICES:
+    raise ValueError(
+        f"EVO_SAMPLE_MXU_DTYPE={_sample_mxu_env!r} is not a valid sampler "
+        f"MXU dtype; allowed values: {sorted(_SAMPLE_MXU_CHOICES)}"
+    )
+SAMPLE_MXU_DTYPE = _SAMPLE_MXU_CHOICES[_sample_mxu_env]
 
 # A solve's gradient window is anchored at the initial warp; the warped
 # rect (corner radius PATCH_EXTENT*sqrt(2) ~ 17 px) plus bicubic support
