@@ -23,8 +23,14 @@ from evo_tpu.core import lie
 
 _N_GRID = 256
 _V_MAX = 16.0
-_N_BISECT = 40
-_N_NEWTON = 8
+# 24 halvings shrink the widest possible bracket (~16) to ~1e-6; the Newton
+# polish then reaches f32 resolution. Both loops are UNROLLED: under
+# vmap-over-hypotheses each trip is a tiny [H, 4] op, and a lax.fori_loop's
+# per-trip overhead (~80 µs on the host geometry backend) made the root
+# finder the dominant cost of the whole localization RANSAC (4.5 ms of a
+# 5.1 ms dispatch at 128 hypotheses).
+_N_BISECT = 24
+_N_NEWTON = 6
 
 
 def _quartic_real_roots(coeffs):
@@ -44,8 +50,14 @@ def _quartic_real_roots(coeffs):
     grid = 1e-4 + (_V_MAX - 1e-4) * g * g
     vals = f(grid)
     sign_change = jnp.signbit(vals[:-1]) != jnp.signbit(vals[1:])  # [N-1]
-    # take up to 4 bracket indices (smallest first)
-    idx = jnp.argsort(~sign_change, stable=True)[:4]  # indices of True first
+    # take up to 4 bracket indices (smallest first): k-th True located by
+    # argmax over (sign_change & rank==k+1) — a stable argsort of the [N-1]
+    # mask did the same job but cost 2.6 ms of the 5 ms localization
+    # dispatch at 128 vmapped hypotheses (XLA:CPU sorts row-serially)
+    rank = jnp.cumsum(sign_change)
+    idx = jnp.stack(
+        [jnp.argmax(sign_change & (rank == k + 1)) for k in range(4)]
+    )
     have = sign_change[idx]
     lo = grid[idx]
     hi = grid[idx + 1]
@@ -58,7 +70,8 @@ def _quartic_real_roots(coeffs):
         hi = jnp.where(same_side, hi, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, _N_BISECT, bisect_body, (lo, hi))
+    for i in range(_N_BISECT):  # unrolled — see _N_BISECT note
+        lo, hi = bisect_body(i, (lo, hi))
     root = 0.5 * (lo + hi)
 
     def newton_body(_, r):
@@ -68,22 +81,50 @@ def _quartic_real_roots(coeffs):
         ok = (r2 > 0) & (r2 <= _V_MAX) & jnp.isfinite(r2)
         return jnp.where(ok, r2, r)
 
-    root = jax.lax.fori_loop(0, _N_NEWTON, newton_body, root)
+    for i in range(_N_NEWTON):  # unrolled
+        root = newton_body(i, root)
     valid = have & (root > 0) & jnp.isfinite(root)
     return root, valid
 
 
 def _kabsch_3pt(p_world, p_cam):
-    """Rigid T_c_w (p_cam = R p_world + t) from 3 exact correspondences."""
+    """Rigid T_c_w (p_cam = R p_world + t) from 3 EXACT correspondences by
+    orthonormal-triad alignment. A batched 3×3 SVD Kabsch computed the same
+    rotation, but vmapped jnp.linalg.svd lowers to one LAPACK call per
+    matrix on the host geometry backend — 512 of them made this the
+    dominant cost of the entire localization RANSAC dispatch. P3P
+    back-substitution yields exact correspondences, so the triad
+    construction is equivalent (degenerate only for collinear points, where
+    P3P itself is degenerate and the candidate scores out)."""
+
+    def triad(p):
+        u1 = p[1] - p[0]
+        u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-12)
+        v = p[2] - p[0]
+        v = v - jnp.dot(v, u1) * u1
+        u2 = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u3 = jnp.cross(u1, u2)
+        return jnp.stack([u1, u2, u3], axis=1)  # orthonormal columns
+
+    W = triad(p_world)
+    C = triad(p_cam)
+    R = C @ W.T  # right-handed triads both sides ⇒ proper rotation
     cw = jnp.mean(p_world, axis=0)
     cc = jnp.mean(p_cam, axis=0)
-    H = (p_world - cw).T @ (p_cam - cc)  # [3,3]
-    u, _, vt = jnp.linalg.svd(H)
-    d = jnp.linalg.det(vt.T @ u.T)
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)
-    R = vt.T @ D @ u.T
     t = cc - R @ cw
     return R, t
+
+
+def _solve3_cramer(J, r):
+    """x with J x = r via Cramer's rule (scalar triple products) — a
+    vmapped jnp.linalg.solve pays a LAPACK round trip per 3×3 system."""
+    c0, c1, c2 = J[:, 0], J[:, 1], J[:, 2]
+    det = jnp.dot(c0, jnp.cross(c1, c2))
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    x0 = jnp.dot(r, jnp.cross(c1, c2))
+    x1 = jnp.dot(c0, jnp.cross(r, c2))
+    x2 = jnp.dot(c0, jnp.cross(c1, r))
+    return jnp.stack([x0, x1, x2]) / det
 
 
 def p3p_grunert(bearings, points):
@@ -169,12 +210,14 @@ def p3p_grunert(bearings, points):
         def body(_, s):
             r = res(s)
             J = jax.jacfwd(res)(s)
-            step = jnp.linalg.solve(J + 1e-9 * jnp.eye(3, dtype=s.dtype), r)
+            step = _solve3_cramer(J + 1e-9 * jnp.eye(3, dtype=s.dtype), r)
             s_new = s - step
             ok = jnp.all(jnp.isfinite(s_new)) & jnp.all(s_new > 0)
             return jnp.where(ok, s_new, s)
 
-        return jax.lax.fori_loop(0, 3, body, s)
+        for i in range(3):  # unrolled (tiny body)
+            s = body(i, s)
+        return s
 
     s_polished = jax.vmap(lambda a, b, c: _polish(jnp.stack([a, b, c])))(s1, s2, s3)
     s1, s2, s3 = s_polished[:, 0], s_polished[:, 1], s_polished[:, 2]

@@ -219,6 +219,31 @@ def refine_absolute_pose(pose_w_c, bearings, points, inliers, num_iters: int = 1
     return out.x
 
 
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def localize_camera_fused(
+    key, intr, pix, points, n_valid, valid_mask, threshold,
+    *, num_hypotheses: int = 128,
+):
+    """The whole 2D-3D localization stage in ONE dispatch: unproject the
+    padded pixel observations, P3P RANSAC, nonlinear refinement on the
+    inliers, and inlier reselection (`localizeCamera`,
+    visual_odometry.cpp:212-286). The stage runs per keyframe on the host
+    CPU backend where each separate dispatch costs ~1 ms of the VO critical
+    path — unfusing this was three dispatches plus two host round trips."""
+    from evo_tpu.core import camera
+
+    bearings = camera.unproject(intr, pix)
+    pose, res = absolute_pose_ransac(
+        key, bearings, points, n_valid,
+        num_hypotheses=num_hypotheses, threshold=threshold,
+        valid_mask=valid_mask,
+    )
+    refined, inl = refine_absolute_pose_reselect(
+        pose, bearings, points, res.inliers, threshold
+    )
+    return refined, inl & valid_mask
+
+
 @jax.jit
 def refine_absolute_pose_reselect(pose_w_c, bearings, points, inliers,
                                   threshold):

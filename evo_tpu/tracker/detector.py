@@ -894,26 +894,46 @@ class EventTracker:
         return mirror
 
     def _log_scan(self, stacked, k: int) -> None:
+        """Vectorized solve-log consumption: one [K, P] mask pass builds the
+        final-cost rows and per-track trajectory extensions as numpy batches
+        (the per-(step, row) Python loop cost ~12 ms/window of the pipeline's
+        consume stage). np.nonzero is row-major, so entries stay in (step,
+        row) order — the same order the loop produced — and the stable
+        argsort groups per track without reordering a track's own entries."""
         ran = stacked["ran"][:k]  # [K, P]
         if not ran.any():
             return
-        cost = stacked["cost"][:k]
-        cur_t = stacked["cur_t"][:k]
-        center = stacked["center"][:k]
-        alive = stacked["alive"][:k]
-        tid_arr = stacked["track_id"][:k]
-        for step in range(k):
-            for i in np.flatnonzero(ran[step]):
-                tid = int(tid_arr[step, i])
-                if tid < 0:
-                    continue
-                t_abs = self._abs_us(float(cur_t[step, i]))
-                self.final_cost_log.append((tid, float(cost[step, i]), t_abs))
-                if alive[step, i]:
-                    cx, cy = center[step, i]
-                    self.trajectories.setdefault(tid, []).append(
-                        (t_abs, float(cx), float(cy))
-                    )
+        step_i, row_i = np.nonzero(ran)
+        tid = stacked["track_id"][:k][step_i, row_i]
+        keep = tid >= 0
+        if not keep.all():
+            step_i, row_i, tid = step_i[keep], row_i[keep], tid[keep]
+        if len(tid) == 0:
+            return
+        cost = stacked["cost"][:k][step_i, row_i].astype(np.float64)
+        cur_t = stacked["cur_t"][:k][step_i, row_i].astype(np.float64)
+        # np.rint rounds half-to-even exactly like the scalar _abs_us path
+        t_abs = np.rint(cur_t * US_PER_S).astype(np.int64) + (self.epoch_us or 0)
+        self.final_cost_log.extend(
+            zip(tid.tolist(), cost.tolist(), t_abs.tolist())
+        )
+        live = np.flatnonzero(stacked["alive"][:k][step_i, row_i])
+        if len(live) == 0:
+            return
+        center = stacked["center"][:k][step_i[live], row_i[live]].astype(np.float64)
+        entries = list(zip(t_abs[live].tolist(), center[:, 0].tolist(),
+                           center[:, 1].tolist()))
+        tid_l = tid[live]
+        order = np.argsort(tid_l, kind="stable")
+        sorted_tid = tid_l[order]
+        bounds = (np.flatnonzero(np.diff(sorted_tid)) + 1).tolist()
+        ordered = order.tolist()
+        st = sorted_tid.tolist()
+        start = 0
+        for end in bounds + [len(st)]:
+            lst = self.trajectories.setdefault(st[start], [])
+            lst.extend(entries[j] for j in ordered[start:end])
+            start = end
 
     def _process_sub_batch(self, t_us, x, y, pol) -> None:
         cap = self.params.sub_batch_events

@@ -61,6 +61,11 @@ class VoParams:
     # blocks — depth-independent f32 accumulation error on long windows
     # (solve.precision; SURVEY §7 hard part 6)
     ba_compensated: bool = False
+    # BA function tolerance (Ceres function_tolerance analogue): an accepted
+    # LM step whose relative cost decrease falls below it ends the solve.
+    # 1e-5 cuts ~1/3 of the iterations vs Ceres' 1e-6 default with no
+    # measured ATE change on the quality suite (QUALITY.json ba_tol_ab)
+    ba_tol: float = 1e-5
     # robustness gates the reference lacks (its triangulation accepts any
     # depth, visual_odometry.cpp:343-377 — fine on its short well-conditioned
     # sequences; on long runs one near-parallel triangulation at ~1e6 m
@@ -285,24 +290,19 @@ class VisualOdometryFrontEnd:
             return
         pix = np.stack([keyframe.landmarks[t] for t in tracks])
         pts = np.stack([self.map.landmarks[t] for t in tracks])
-        bear = self._unproject(pix)
         n = len(tracks)
         b = _bucket(n)
         threshold = 1.0 - np.cos(np.arctan2(self.params.reprojection_error_px, 200.0))
-        bear_p, pts_p = _pad2(bear, b), _pad2(pts, b)
-        pose, res = ransac.absolute_pose_ransac(
-            self._next_key(), bear_p, pts_p, jnp.asarray(n),
+        # unproject + P3P RANSAC + refine + reselect in ONE dispatch
+        # (:212-286); one packed pull for (pose, inliers)
+        refined, inl_mask = ransac.localize_camera_fused(
+            self._next_key(), self.intr, _pad2(pix, b), _pad2(pts, b),
+            jnp.asarray(n), jnp.arange(b) < n, float(threshold),
             num_hypotheses=self.params.num_localize_hypotheses,
-            threshold=float(threshold),
-            valid_mask=jnp.arange(b) < n,
         )
-        # nonlinear refinement on the inliers + reselection (:255-276),
-        # fused into one dispatch
-        refined, inl_mask = ransac.refine_absolute_pose_reselect(
-            pose, bear_p, pts_p, res.inliers, float(threshold)
-        )
-        inl = np.asarray(inl_mask)[:n]
-        pose_np = np.asarray(refined, np.float64)
+        refined_np, inl = jax.device_get((refined, inl_mask))
+        inl = inl[:n]
+        pose_np = refined_np.astype(np.float64)
         # sanity gate: a localization teleporting the camera outside the
         # map's scale is a degenerate P3P fit, not a pose — treat as failed
         # (no reference analogue; see VoParams.max_pose_translation)
@@ -404,7 +404,11 @@ class VisualOdometryFrontEnd:
         if O < 10:
             return
         Fb = self.params.num_active_frames + 1
-        Lb = _bucket(len(lm_ids), 64)
+        # landmarks pad to the next multiple of 64 (not the next power of
+        # two): the dense Schur einsum is linear in padded L, and at the
+        # pipeline's ~300-landmark windows the power-of-two bucket (512) was
+        # paying 60% padding on the solve's dominant term
+        Lb = 64 * max(1, -(-len(lm_ids) // 64))
         Ob = _bucket(O, 256)
 
         poses = np.zeros((Fb, 7), np.float32)
@@ -432,6 +436,7 @@ class VisualOdometryFrontEnd:
             jnp.asarray(fixed),
             num_iters=self.params.max_iterations, huber=self.params.huber_loss,
             compensated=self.params.ba_compensated,
+            tol=self.params.ba_tol,
         )
         new_poses = np.asarray(new_poses, np.float64)
         new_lms = np.asarray(new_lms, np.float64)
