@@ -14,6 +14,7 @@ Implemented as small depthwise convolutions via `lax.conv_general_dilated`
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -33,7 +34,10 @@ def _conv2same(img, kernel):
     return out[0, 0]
 
 
-SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+# numpy (not jnp) so importing the package never initializes the XLA
+# backend — jax.distributed.initialize must run first in multi-process
+# launches (dist/multihost.py); _conv2same casts to the image dtype anyway
+SOBEL_X = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
 SOBEL_Y = SOBEL_X.T
 
 

@@ -34,6 +34,13 @@ class WatchdogParams:
     check_every: int = 1  # windows between mirror checks
     auto_checkpoint_every: int = 0  # windows; 0 = disabled
     checkpoint_path: str = "/tmp/evo_autockpt.npz"
+    # FINITE-garbage detector: a live track whose center moved more than
+    # this many pixels between consecutive mirror checks is corrupted, not
+    # tracking — the alignment solver's per-solve travel cap
+    # (tracker/align.py anchored-window solve) bounds legitimate motion to
+    # a few px per solve, and the lost-filter kills fast-drifting tracks
+    # long before they cover 50 px in one window. 0 disables the check.
+    teleport_px: float = 50.0
 
 
 @dataclasses.dataclass
@@ -53,6 +60,8 @@ class HealthMonitor:
         self.recovered_patches = 0
         # per-track last solve timestamp, for the monotonicity invariant
         self._last_cur_t: dict[int, float] = {}
+        # per-track last center, for the finite-garbage teleport invariant
+        self._last_center: dict[int, tuple[float, float]] = {}
 
     # -- detection ---------------------------------------------------------
     def check_mirror(self, mirror: dict, max_live: int | None = None) -> np.ndarray:
@@ -72,7 +81,19 @@ class HealthMonitor:
           clamp, plus the INIT value);
         - per-track solve time `cur_t` non-decreasing across windows
           (events are routed in timestamp order, so a backwards jump means
-          state corruption)."""
+          state corruption);
+        - per-track center displacement bounded by `teleport_px` between
+          consecutive checks — the FINITE-garbage invariant: a corrupted-
+          but-finite center (a teleported row) keeps routing events and
+          solving, so no NaN check can see it; a jump the solver's travel
+          cap could never produce can.
+
+        Undetectable by design (recorded, tests/test_watchdog.py): a finite
+        budget corruption WITHIN (0, MAX_NUM_EVENTS] and a center nudged by
+        less than `teleport_px` — both are inside the value ranges healthy
+        tracking produces, so no invariant can separate them from signal;
+        their blast radius is one track's quality, bounded by the lost-
+        filter (median residual > threshold kills drifting tracks)."""
         from evo_tpu.tracker import patch_state as ps
 
         alive = mirror["alive"]
@@ -119,6 +140,27 @@ class HealthMonitor:
                 self._record("time_regression", f"{int(regressed.sum())} "
                              "tracks with backwards solve timestamps")
                 bad = bad | regressed
+        if "track_id" in mirror and self.params.teleport_px > 0:
+            tid = mirror["track_id"]
+            jumped = np.zeros_like(alive)
+            finite_row = np.all(np.isfinite(center), axis=-1)
+            for i in np.flatnonzero(alive & (tid >= 0) & finite_row):
+                prev = self._last_center.get(int(tid[i]))
+                cx, cy = float(center[i, 0]), float(center[i, 1])
+                if prev is not None and np.hypot(
+                    cx - prev[0], cy - prev[1]
+                ) > self.params.teleport_px:
+                    jumped[i] = True
+                else:
+                    # a flagged row's stored center is NOT advanced: the
+                    # quarantine kills it, and a re-seeded track gets a
+                    # fresh id
+                    self._last_center[int(tid[i])] = (cx, cy)
+            if jumped.any():
+                self._record("teleport", f"{int(jumped.sum())} tracks "
+                             f"jumped > {self.params.teleport_px:g} px "
+                             "between checks (finite-garbage corruption)")
+                bad = bad | jumped
         return bad
 
     def check_vo(self, vo) -> bool:

@@ -319,6 +319,9 @@ def _fused_window_core(table: ps.PatchTable, grads, pstate: policy.PolicyState,
         alive=table.alive, track_id=table.track_id,
         center=table.center, grad_slot=table.grad_slot,
         cur_t=table.cur_t,
+        # [P] i32, ~1 KB: lets the watchdog's event-budget invariant see
+        # the fused-path mirror too (finite-garbage detection)
+        num_of_events=table.num_of_events,
     )
     return table, grads, pstate, stacked, framelog
 
@@ -889,7 +892,8 @@ class EventTracker:
             # both paths (and checkpoints from either) agree on the next id
             self.next_track_id = max(self.next_track_id, tid + 1)
         mirror = {kk: fl[kk] for kk in
-                  ("alive", "track_id", "center", "grad_slot", "cur_t")}
+                  ("alive", "track_id", "center", "grad_slot", "cur_t",
+                   "num_of_events")}
         self._consume_framelog(frame_t_us, mirror)
         return mirror
 

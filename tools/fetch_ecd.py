@@ -71,8 +71,33 @@ def _eprint(*a):
     print(*a, file=sys.stderr)
 
 
+def _extract_zip(zpath: str, out_dir: str) -> None:
+    print(f"extracting {zpath} -> {out_dir}")
+    with zipfile.ZipFile(zpath) as z:
+        z.extractall(out_dir)
+    # some ECD zips nest a single top-level directory; flatten it
+    entries = os.listdir(out_dir)
+    if len(entries) == 1 and os.path.isdir(os.path.join(out_dir, entries[0])):
+        inner = os.path.join(out_dir, entries[0])
+        for name in os.listdir(inner):
+            os.rename(os.path.join(inner, name), os.path.join(out_dir, name))
+        os.rmdir(inner)
+
+
 def fetch(seq: str, dest: str, dry_run: bool = False, strict: bool = False,
-          timeout_s: float = 20.0) -> int:
+          timeout_s: float = 20.0, from_file: str | None = None) -> int:
+    """Materialize an ECD sequence under `dest/seq`.
+
+    `from_file` ingests a LOCAL archive instead of the network: a `.zip` of
+    the ECD "Text (zip)" distribution, or an already-extracted directory.
+    This is the zero-egress path — download the zip on any network-enabled
+    host, carry it over, and:
+
+        python tools/fetch_ecd.py fetch shapes_6dof --from-file shapes_6dof.zip --dest data/
+        python -m evo_tpu.run.cli --dataset data/shapes_6dof \\
+            --output-dir out/shapes_6dof --tracker-experiment
+        python -m evo_tpu.run.quality  # real-data QUALITY rows
+    """
     if seq not in SEQUENCES:
         _eprint(f"unknown sequence {seq!r}; known: {', '.join(SEQUENCES)}")
         return 2
@@ -80,6 +105,26 @@ def fetch(seq: str, dest: str, dry_run: bool = False, strict: bool = False,
     out_dir = os.path.join(dest, seq)
     if os.path.exists(os.path.join(out_dir, "events.txt")):
         print(f"{out_dir} already present")
+        return check(out_dir, quick=True)
+    if from_file is not None:
+        if not os.path.exists(from_file):
+            _eprint(f"--from-file {from_file}: no such file or directory")
+            return 2
+        os.makedirs(dest, exist_ok=True)
+        if os.path.isdir(from_file):
+            import shutil
+
+            print(f"copying {from_file} -> {out_dir}")
+            shutil.copytree(from_file, out_dir, dirs_exist_ok=True)
+            entries = os.listdir(out_dir)
+            if len(entries) == 1 and os.path.isdir(os.path.join(out_dir, entries[0])):
+                inner = os.path.join(out_dir, entries[0])
+                for name in os.listdir(inner):
+                    os.rename(os.path.join(inner, name), os.path.join(out_dir, name))
+                os.rmdir(inner)
+        else:
+            _extract_zip(from_file, out_dir)
+        convert(out_dir)
         return check(out_dir, quick=True)
     if dry_run:
         print(f"dry-run: would download {url} "
@@ -101,20 +146,11 @@ def fetch(seq: str, dest: str, dry_run: bool = False, strict: bool = False,
                 f.write(buf)
     except Exception as e:  # zero-egress / offline environments
         _eprint(f"download failed ({e.__class__.__name__}: {e}).")
-        _eprint(f"Offline? Fetch manually from {url} and either unzip into "
-                f"{out_dir} or rerun this tool; then validate with:")
-        _eprint(f"  python tools/fetch_ecd.py check {out_dir}")
+        _eprint(f"Offline? Fetch manually from {url} and ingest locally:")
+        _eprint(f"  python tools/fetch_ecd.py fetch {seq} "
+                f"--from-file {seq}.zip --dest {dest}")
         return 1 if strict else 0
-    print(f"extracting {zpath} -> {out_dir}")
-    with zipfile.ZipFile(zpath) as z:
-        z.extractall(out_dir)
-    # some ECD zips nest a single top-level directory; flatten it
-    entries = os.listdir(out_dir)
-    if len(entries) == 1 and os.path.isdir(os.path.join(out_dir, entries[0])):
-        inner = os.path.join(out_dir, entries[0])
-        for name in os.listdir(inner):
-            os.rename(os.path.join(inner, name), os.path.join(out_dir, name))
-        os.rmdir(inner)
+    _extract_zip(zpath, out_dir)
     os.remove(zpath)
     convert(out_dir)
     return check(out_dir, quick=True)
@@ -212,6 +248,10 @@ def main(argv=None) -> int:
     f.add_argument("--dest", default="data")
     f.add_argument("--dry-run", action="store_true",
                    help="print the plan without touching the network")
+    f.add_argument("--from-file", default=None, metavar="ZIP_OR_DIR",
+                   help="ingest a locally provided ECD archive (zip) or "
+                        "extracted directory instead of downloading — the "
+                        "zero-egress path to real-data QUALITY rows")
     f.add_argument("--strict", action="store_true",
                    help="exit nonzero when the download fails (default: "
                         "offline environments skip gracefully)")
@@ -223,7 +263,8 @@ def main(argv=None) -> int:
                    help="layout/head checks only (no reader import)")
     args = ap.parse_args(argv)
     if args.cmd == "fetch":
-        return fetch(args.sequence, args.dest, args.dry_run, args.strict)
+        return fetch(args.sequence, args.dest, args.dry_run, args.strict,
+                     from_file=args.from_file)
     if args.cmd == "convert":
         return convert(args.path)
     return check(args.path, quick=args.quick)
