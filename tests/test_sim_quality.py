@@ -70,3 +70,24 @@ class TestEndToEndQuality:
         if ev.vo is not None and ev.vo.last_ate is not None:
             # ATE relative to max scene depth (plane at 2 m)
             assert ev.vo.last_ate.rmse / 2.0 < 0.035, ev.vo.last_ate
+
+
+def test_death_breakdown_attribution():
+    """Track-end cause attribution (VERDICT r4 item 5): censored at
+    sequence end, border exit, interior loss, and too-short tracks."""
+    from evo_tpu.run.quality import death_breakdown
+
+    us = 1_000_000
+    trajs = {
+        0: [(0, 100.0, 90.0), (1 * us, 101.0, 90.0), (6 * us, 102.0, 90.0)],
+        1: [(0, 100.0, 90.0), (1 * us, 150.0, 90.0), (3 * us, 236.0, 90.0)],
+        2: [(0, 100.0, 90.0), (1 * us, 101.0, 90.0), (3 * us, 102.0, 91.0)],
+        3: [(0, 50.0, 50.0)],
+    }
+    out = death_breakdown(trajs, height=180, width=240)
+    assert out["censored"] == 1  # track 0 alive at the 6 s end
+    assert out["border"] == 1    # track 1 died at x=236 (within 8 px of 240)
+    assert out["interior_lost"] == 1  # track 2 died in-frame at 3 s
+    assert out["short"] == 1
+    assert out["interior_lost_mean_age_s"] == 3.0
+    assert death_breakdown({}) == {}
