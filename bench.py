@@ -204,7 +204,11 @@ def bench_mfu() -> dict:
     f = jax.jit(lambda xs, ys, ws: splat_image(
         xs, ys, ws, H, W, mode="bilinear", chunk=8192))
     comp = f.lower(x, y, w).compile()
-    flops = cost_flops(comp) or 2.0 * H * W * n  # separable matmul MACs
+    # XLA cost_analysis counts a scan BODY once, not trip_count times (the
+    # r5 first run reported exactly one 8192-event chunk's matmul, 7.2e8,
+    # for the full 4M-event call), so the analytic count is the floor:
+    # the separable formulation does 2*H*W MACs per event by construction.
+    flops = max(cost_flops(comp) or 0.0, 2.0 * H * W * n)
     img = f(x, y, w)
     float(jnp.sum(img))
     reps, best = 20, 0.0
@@ -220,7 +224,7 @@ def bench_mfu() -> dict:
         "flops_per_call": flops,
         "achieved_tflops": round(best / 1e12, 2),
         "mfu_vs_bf16_peak": round(best / peak, 4) if peak else None,
-        "useful_tap_fraction": round(8.0 * n / flops, 6),
+        "useful_tap_fraction": round(8.0 * n / flops, 8),
         "interpretation": "the H*W-MACs-per-event redundancy is the point: "
             "~4 useful taps per event cost a dense MXU matmul that still "
             "beats exact-taps scatter by ~6x wall clock (decode_variants); "
@@ -254,6 +258,9 @@ def bench_mfu() -> dict:
         best_dt = min(best_dt, (time.perf_counter() - t0) / reps)
     ach = (flops / best_dt) if flops else None
     out["window_scan_15k"] = {
+        "flops_note": "lower bound — cost_analysis counts each lax.scan "
+                      "body (sub-batch step, LM iteration) once, not "
+                      "trip_count times",
         "flops_per_call": flops,
         "ms_per_window": round(best_dt * 1e3, 2),
         "achieved_tflops": round(ach / 1e12, 3) if ach else None,
@@ -287,11 +294,15 @@ def bench_mfu() -> dict:
         td = tile_data
         for _ in range(reps):
             cost = solve(td)
-            td = td + 0.0 * cost
+            # serialize the chain: tile_data is a tuple; thread the scalar
+            # through its first (f32 event-x) leaf
+            td = (td[0] + 0.0 * cost,) + tuple(td[1:])
         float(cost)
         best_dt = min(best_dt, (time.perf_counter() - t0) / reps)
     ach = (flops / best_dt) if flops else None
     out["tile_solve_40k"] = {
+        "flops_note": "lower bound — cost_analysis counts each LM-"
+                      "iteration scan body once, not trip_count times",
         "flops_per_call": flops,
         "ms_per_solve": round(best_dt * 1e3, 2),
         "achieved_tflops": round(ach / 1e12, 3) if ach else None,

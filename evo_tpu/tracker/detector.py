@@ -71,6 +71,13 @@ class TrackerParams:
     # sub-batching of the event stream between solves
     sub_batch_events: int = 5_000
     sub_batch_duration_us: int = 10_000
+    # dense-window bound: a window carrying more than max_window_steps *
+    # sub_batch_events events scales its sub-batch size up (bucketed) so
+    # the fused scan stays at ~max_window_steps fixed-cost solve steps —
+    # the real-time guard at >=1 Mev/s DAVIS density (see
+    # _subbatch_bounds); 0 disables. Solve cadence stays within the
+    # reference's observed 1-10 optimizations/feature/50 ms (report §5.1).
+    max_window_steps: int = 6
     # process a whole window's sub-batches in one device dispatch
     # (lax.scan); False = one dispatch per sub-batch (debug/step mode)
     use_device_scan: bool = True
@@ -609,12 +616,19 @@ class EventTracker:
 
     def _consume_framelog(self, t_us: int, mirror: dict) -> None:
         """Lifecycle + per-frame trajectory entries from a post-frame mirror
-        (associatePatches does addTrajectoryPosition per frame, :646-648)."""
+        (associatePatches does addTrajectoryPosition per frame, :646-648).
+        One vectorized conversion pass; the per-row int()/float() casts on
+        device scalars dominated this loop (VERDICT r4 item 8)."""
         self._archive_dead(mirror)
-        for i in np.flatnonzero(mirror["alive"]):
-            tid = int(mirror["track_id"][i])
-            cx, cy = mirror["center"][i]
-            self.trajectories.setdefault(tid, []).append((int(t_us), float(cx), float(cy)))
+        idx = np.flatnonzero(mirror["alive"])
+        if len(idx):
+            t = int(t_us)
+            tids = mirror["track_id"][idx].tolist()
+            centers = mirror["center"][idx].astype(np.float64)
+            xs, ys = centers[:, 0].tolist(), centers[:, 1].tolist()
+            traj = self.trajectories
+            for tid, cx, cy in zip(tids, xs, ys):
+                traj.setdefault(tid, []).append((t, cx, cy))
         self.last_mirror = mirror
 
     def _archive_dead(self, mirror: dict | None = None) -> None:
@@ -646,35 +660,57 @@ class EventTracker:
         n = len(t_us)
         if n == 0:
             return
-        bounds = self._subbatch_bounds(t_us)
         if p.use_device_scan:
-            self._process_window_device(t_us, x, y, pol, bounds)
+            bounds, cap = self._subbatch_bounds(t_us)
+            self._process_window_device(t_us, x, y, pol, bounds, cap)
         else:
+            # the host-loop fallback pads each sub-batch to the FIXED cap,
+            # so dense-window cap scaling does not apply here
+            bounds, _ = self._subbatch_bounds(t_us, adaptive=False)
             for lo, hi in bounds:
                 self._process_sub_batch(t_us[lo:hi], x[lo:hi], y[lo:hi], pol[lo:hi])
 
-    def _subbatch_bounds(self, t_us) -> list[tuple[int, int]]:
-        """Cut a window into sub-batches bounded by count and duration."""
+    def _subbatch_bounds(self, t_us, adaptive: bool = True):
+        """Cut a window into sub-batches bounded by count and duration.
+        Returns (bounds, cap) where `cap` is the wire width to pack at.
+
+        `adaptive` (the device-scan paths): a DENSE window — more than
+        max_window_steps * sub_batch_events events — scales both caps so
+        the fused scan runs at most ~max_window_steps solve steps. Each
+        scan step carries ~5 ms of fixed cost (the compact LM solve pass;
+        tools/probe r5: 12 steps of 5 k = 81 ms/window, 6 of 10 k = 46 ms),
+        so at DAVIS density (report §5.1, ~56 k events per 50 ms window)
+        the per-step budget, not the event count, sets the wall clock. The
+        count cap is bucketed to 4096-multiples so dense windows compile a
+        bounded set of shapes; sparse windows (= every window at the
+        reference's assumed density and below) are untouched."""
         p = self.params
         n = len(t_us)
+        cap = p.sub_batch_events
+        dur = p.sub_batch_duration_us
+        if adaptive and p.max_window_steps and n > cap * p.max_window_steps:
+            cap = -(-n // p.max_window_steps)
+            cap = 4096 * -(-cap // 4096)
+            span = int(t_us[-1]) - int(t_us[0]) + 1
+            dur = max(dur, -(-span // p.max_window_steps))
         bounds = []
         lo = 0
         while lo < n:
-            hi_cnt = min(lo + p.sub_batch_events, n)
-            hi_time = int(np.searchsorted(t_us, t_us[lo] + p.sub_batch_duration_us, "left"))
+            hi_cnt = min(lo + cap, n)
+            hi_time = int(np.searchsorted(t_us, t_us[lo] + dur, "left"))
             hi = max(lo + 1, min(hi_cnt, hi_time))
             bounds.append((lo, hi))
             lo = hi
-        return bounds
+        return bounds, cap
 
-    def _window_batches(self, t_us, x, y, pol, bounds):
+    def _window_batches(self, t_us, x, y, pol, bounds, cap: int):
         """Pack the window's sub-batches into the 8 B/event wire layout
         (see `unpack_events`): [K, C] i32 xyp + i32 µs-relative time + one
         f32 window offset. K is exact (no power-of-2 rounding — padding rows
-        are pure wasted upload bandwidth)."""
+        are pure wasted upload bandwidth); C is the (possibly adaptive)
+        cap `_subbatch_bounds` packed at."""
         if self.epoch_us is None:
             self.epoch_us = int(t_us[0])
-        cap = self.params.sub_batch_events
         k = len(bounds)
         t0_us = int(t_us[0])
         xyp = np.full((k, cap), -1, np.int32)
@@ -718,10 +754,11 @@ class EventTracker:
             cur_t=t.cur_t,
         )
 
-    def _process_window_device(self, t_us, x, y, pol, bounds) -> None:
+    def _process_window_device(self, t_us, x, y, pol, bounds,
+                               cap: int) -> None:
         """One fused device dispatch for the whole window (lax.scan over
         sub-batches; see align.process_window_scan)."""
-        xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds)
+        xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds, cap)
         stacked = self._dispatch_scan(xyp, trel, offset)
         # ONE packed pull for the whole window: per-step solve logs + the
         # post-scan table mirror for lifecycle
@@ -756,8 +793,8 @@ class EventTracker:
             border=ps.PATCH_EXTENT + 1,
         )
         if len(t_us):
-            bounds = self._subbatch_bounds(t_us)
-            xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds)
+            bounds, cap = self._subbatch_bounds(t_us)
+            xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds, cap)
             stacked = self._dispatch_scan(xyp, trel, offset)
             pulled = fetch(dict(
                 stacked=stacked, mirror=self._mirror_fields(),
@@ -783,8 +820,8 @@ class EventTracker:
         p = self.params
         has_events = len(t_us) > 0
         if has_events:
-            bounds = self._subbatch_bounds(t_us)
-            xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds)
+            bounds, cap = self._subbatch_bounds(t_us)
+            xyp, trel, offset, k = self._window_batches(t_us, x, y, pol, bounds, cap)
         else:
             cap = p.sub_batch_events
             xyp = np.full((1, cap), -1, np.int32)
