@@ -134,6 +134,8 @@ class Evaluator:
         self._pending_comp: list = []
         self._pending_comp_batched: list = []
         self._comp_executor = None
+        # device-side warm-start field, owned by the evo-comp worker thread
+        self._comp_warm_vel = None
         # temporal-batch mode: buffered (x, y, t_us) compensation windows
         self._comp_windows: list[tuple] = []
         # async-VO worker state (see EvaluatorParams.async_vo)
@@ -213,13 +215,30 @@ class Evaluator:
                 self._comp_executor = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="evo-comp"
                 )
-            self._pending_comp.append(self._comp_executor.submit(
-                comp.compensate_window,
-                ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),
-                ev[:, 0].astype(np.int64), self.params.compensate,
-                height=self.height, width=self.width, mesh=self.params.mesh,
-                defer=True,
-            ))
+            xs = ev[:, 1].astype(np.float64)
+            ys = ev[:, 2].astype(np.float64)
+            ts = ev[:, 0].astype(np.int64)
+
+            def run_deferred():
+                # worker-thread-only state: chain the previous window's
+                # solved field (still on device) into this solve's warm
+                # start — motion is smooth at the 15 k-event cadence, so
+                # the LM's function-tolerance termination fires in roughly
+                # half the steps (single worker thread => no races)
+                out = comp.compensate_window(
+                    xs, ys, ts, self.params.compensate,
+                    height=self.height, width=self.width,
+                    mesh=self.params.mesh, defer=True,
+                    v_init=(self._comp_warm_vel
+                            if self.params.mesh is None else None),
+                )
+                if self.params.mesh is None:
+                    self._comp_warm_vel = getattr(out, "vel_dev", None)
+                return out
+
+            self._pending_comp.append(
+                self._comp_executor.submit(run_deferred)
+            )
             return
         out = comp.compensate_window(
             ev[:, 1].astype(np.float64), ev[:, 2].astype(np.float64),

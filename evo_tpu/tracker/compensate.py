@@ -188,11 +188,18 @@ def solve_motion_field(
     tv_huber: float,
     max_iters: int,
     loss: str = "edge",
+    v_init=None,
 ):
     """Block-structured LM over per-tile velocities [T, 2].
 
     tile_data: pytree of per-tile arrays (see tile_residual), leading dim T.
     edge_idx: [E, 2] int32 neighbor pairs.
+    v_init: optional [T, 2] warm start — the previous window's solved field.
+    Motion fields are temporally smooth at the 15 k-event window cadence, so
+    warm-starting typically halves the accepted-LM-step count before the
+    function_tolerance termination fires; the termination criteria (and so
+    the solution quality contract) are unchanged, and a degenerate init can
+    only cost iterations, never correctness (LM rejects ascent steps).
     """
     T = tile_data[0].shape[0]
     res_fn = partial(tile_residual, tile=tile, scale=scale, loss=loss)
@@ -272,6 +279,11 @@ def solve_motion_field(
     # matches the body output when this solve runs (vmapped) inside a
     # shard_map (dist.temporal batches windows over the mesh batch axis)
     v0 = jnp.zeros((T, 2), jnp.float32) + 0.0 * tile_data[0].ravel()[0]
+    if v_init is not None:
+        vi = jnp.asarray(v_init, jnp.float32).reshape(T, 2)
+        # a non-finite carry (e.g. from a poisoned previous window) must
+        # not seed the solve
+        v0 = v0 + jnp.where(jnp.all(jnp.isfinite(vi)), vi, 0.0)
     cost0 = total_cost(v0)
     lam0 = jnp.float32(1e-4) + 0.0 * cost0
     done0 = (cost0 * 0.0).astype(bool)
@@ -345,6 +357,7 @@ def compensate_window(
     width: int = 240,
     mesh=None,
     defer: bool = False,
+    v_init=None,
 ):
     """Full window compensation (host orchestration + jitted solve).
 
@@ -381,6 +394,7 @@ def compensate_window(
             tile_data, edge_idx,
             tile=p.tile, scale=p.scale, tv_weight=p.tv_weight,
             tv_huber=p.tv_huber, max_iters=p.max_iters, loss=p.loss,
+            v_init=v_init,
         )
 
     # final image: nearest splat of counts at compensated positions
@@ -408,6 +422,10 @@ def compensate_window(
         handle = fetch_async(tree)
 
         class _Deferred:
+            # the solved field as a DEVICE array: the pipeline chains it
+            # into the next window's v_init without a host round trip
+            vel_dev = vel
+
             def get(self):
                 return unpack(handle.get())
 

@@ -693,3 +693,37 @@ class TestDevicePolicyParity:
         np.testing.assert_array_equal(dev["new_mask"], host["new_mask"])
         n_after = 95 - dev["evict"].sum() + dev["new_mask"].sum()
         assert n_after <= 100
+
+
+class TestCompensateWarmStart:
+    def test_warm_start_preserves_solution_quality(self, rng):
+        """The pipeline chains each compensation window's solved field into
+        the next solve's init (evaluator run_deferred). The termination
+        criteria are unchanged, so a warm start may only save iterations:
+        its final cost must match the cold solve's on the same window, and
+        a poisoned (non-finite) carry must be neutralized to zeros."""
+        h = w = 60
+        p = compensate.CompensateParams(max_iters=25, events_per_tile_cap=512)
+        n = 3000
+        t_us = np.sort(rng.uniform(0, 100_000, n)).astype(np.int64)
+        t_s = t_us * 1e-6
+        base_x = rng.choice(np.arange(5, 55, 10), n)
+        ex = np.clip(base_x + 50.0 * t_s + rng.normal(0, 0.3, n), 0, w - 1)
+        ey = rng.uniform(0, h - 1, n)
+
+        cold_f, _, cold_c, c0 = compensate.compensate_window(
+            ex.astype(np.float64), ey, t_us, p, height=h, width=w
+        )
+        assert cold_c < c0
+        warm_f, _, warm_c, _ = compensate.compensate_window(
+            ex.astype(np.float64), ey, t_us, p, height=h, width=w,
+            v_init=cold_f.reshape(-1, 2),
+        )
+        assert warm_c <= cold_c * 1.001 + 1e-6
+        np.testing.assert_allclose(warm_f, cold_f, atol=0.02)
+        # non-finite carry: init falls back to zeros => cold result
+        nan_f, _, nan_c, _ = compensate.compensate_window(
+            ex.astype(np.float64), ey, t_us, p, height=h, width=w,
+            v_init=np.full((cold_f.size // 2, 2), np.nan),
+        )
+        assert nan_c == pytest.approx(cold_c, rel=1e-5)
