@@ -88,6 +88,7 @@ def sharded_tile_solve_data(
     tv_huber: float,
     max_iters: int,
     loss: str = "edge",
+    v_init=None,
 ):
     """Space-sharded contrast-max motion-field solve.
 
@@ -123,7 +124,11 @@ def sharded_tile_solve_data(
     run = _build_tile_solver(
         mesh, ty, tx, tile, scale, tv_weight, tv_huber, max_iters, loss
     )
-    v_grid, cost, cost0 = run(grid_data)
+    if v_init is None:
+        vi = jnp.zeros((ty, tx, 2), jnp.float32)
+    else:
+        vi = jnp.asarray(v_init, jnp.float32).reshape(ty, tx, 2)
+    v_grid, cost, cost0 = run(grid_data, vi)
     return v_grid.reshape(ty * tx, 2), cost, cost0
 
 
@@ -145,10 +150,11 @@ def _build_tile_solver(mesh, ty, tx, tile, scale, tv_weight, tv_huber,
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(tuple(P(None, SPACE_AXIS) for _ in range(7)),),
+        in_specs=(tuple(P(None, SPACE_AXIS) for _ in range(7)),
+                  P(None, SPACE_AXIS)),
         out_specs=(P(None, SPACE_AXIS), P(), P()),
     )
-    def run(gdata):
+    def run(gdata, v_init_grid):
         dev = jax.lax.axis_index(SPACE_AXIS)
         ldata = jax.tree.map(
             lambda a: a.reshape((ty * txl,) + a.shape[2:]), gdata
@@ -312,7 +318,14 @@ def _build_tile_solver(mesh, ty, tx, tile, scale, tv_weight, tv_huber,
         # so everything downstream of the assembly is too; while_loop rejects
         # a carry whose in/out manual-axes types differ)
         zv = 0.0 * ldata[0].ravel()[0]  # varying zero
-        v0 = jnp.zeros((ty * txl, 2), jnp.float32) + zv
+        # warm start from the caller's field (this device's tile columns);
+        # zeros = the cold init. A non-finite carry must not seed the solve
+        # (same guard as compensate.solve_motion_field).
+        vi = v_init_grid.reshape(ty * txl, 2).astype(jnp.float32)
+        vi_ok = jax.lax.psum(
+            jnp.all(jnp.isfinite(vi)).astype(jnp.int32), SPACE_AXIS
+        ) == n_space
+        v0 = jnp.where(vi_ok, vi, 0.0) + zv
         cost0 = global_cost(v0)
         v, _, cost, _, _ = jax.lax.while_loop(
             lambda s: (s[3] < max_iters) & ~s[4], step,

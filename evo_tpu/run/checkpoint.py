@@ -37,6 +37,10 @@ def state_dict(ev: Evaluator) -> dict:
     state["tracker.pstate.slot_birth"] = np.asarray(tr.pstate.slot_birth)
     if tr.prev_image is not None:
         state["tracker.prev_image"] = np.asarray(tr.prev_image)
+    if getattr(ev, "_comp_warm_vel", None) is not None:
+        # compensation warm-start chain: resuming cold would solve the
+        # next window from zeros and diverge from the uninterrupted run
+        state["comp.warm_vel"] = np.asarray(ev._comp_warm_vel)
 
     # one source of truth for track-id allocation: the host path consumes
     # next_track_id, the fused device-policy path consumes pstate.next_tid.
@@ -134,6 +138,8 @@ def restore_into(ev: Evaluator, state: dict) -> Evaluator:
 
     ev.image_num = meta["image_num"]
     ev._last_compensation_us = meta["last_compensation_us"]
+    if "comp.warm_vel" in state:
+        ev._comp_warm_vel = jnp.asarray(state["comp.warm_vel"])
 
     if ev.vo is not None and "vo" in meta:
         vm = meta["vo"]

@@ -229,11 +229,9 @@ class Evaluator:
                     xs, ys, ts, self.params.compensate,
                     height=self.height, width=self.width,
                     mesh=self.params.mesh, defer=True,
-                    v_init=(self._comp_warm_vel
-                            if self.params.mesh is None else None),
+                    v_init=self._comp_warm_vel,
                 )
-                if self.params.mesh is None:
-                    self._comp_warm_vel = getattr(out, "vel_dev", None)
+                self._comp_warm_vel = getattr(out, "vel_dev", None)
                 return out
 
             self._pending_comp.append(
@@ -245,8 +243,13 @@ class Evaluator:
             ev[:, 0].astype(np.int64), self.params.compensate,
             height=self.height, width=self.width, mesh=self.params.mesh,
             defer=False,
+            v_init=self._comp_warm_vel,
         )
         field, img, cost, cost0 = out
+        # chain the warm start in the sync drive too, so every drive mode
+        # (sync / pipelined / mesh) solves the identical window sequence —
+        # the mode-parity tests compare motion fields bit-for-bit-ish
+        self._comp_warm_vel = field.reshape(-1, 2)
         self.motion_field = field
         self.compensated_image = img
         _log.info(

@@ -387,7 +387,7 @@ def compensate_window(
             mesh, tile_data,
             ty=ty_n, tx=tx_n, tile=p.tile, scale=p.scale,
             tv_weight=p.tv_weight, tv_huber=p.tv_huber,
-            max_iters=p.max_iters, loss=p.loss,
+            max_iters=p.max_iters, loss=p.loss, v_init=v_init,
         )
     else:
         vel, cost, cost0 = solve_motion_field(
