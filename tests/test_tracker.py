@@ -727,3 +727,43 @@ class TestCompensateWarmStart:
             v_init=np.full((cold_f.size // 2, 2), np.nan),
         )
         assert nan_c == pytest.approx(cold_c, rel=1e-5)
+
+
+class TestAdaptiveSubbatch:
+    def test_dense_window_bounds_scale(self):
+        """The dense-window scan bound (TrackerParams.max_window_steps):
+        sparse windows keep the reference cadence caps untouched; a
+        DAVIS-density window scales its sub-batch size (4096-bucketed) so
+        the fused scan runs a bounded number of fixed-cost steps."""
+        from evo_tpu.tracker.detector import EventTracker, TrackerParams
+
+        tr = EventTracker(TrackerParams(sub_batch_events=5_000,
+                                        sub_batch_duration_us=10_000,
+                                        max_window_steps=6))
+        # sparse window (reference density): unchanged 5k/10ms cuts
+        t_sparse = np.linspace(0, 50_000, 11_000).astype(np.int64)
+        bounds, cap = tr._subbatch_bounds(t_sparse)
+        assert cap == 5_000
+        assert all(hi - lo <= 5_000 for lo, hi in bounds)
+        # duration cap still applies (10 ms of stream per step max)
+        for lo, hi in bounds:
+            assert t_sparse[hi - 1] - t_sparse[lo] <= 10_000
+
+        # dense window (~1.1 Mev/s): bounded steps, bucketed cap
+        t_dense = np.linspace(0, 50_000, 56_000).astype(np.int64)
+        bounds, cap = tr._subbatch_bounds(t_dense)
+        assert cap % 4096 == 0 and cap >= -(-56_000 // 6)
+        assert len(bounds) <= 8  # ~max_window_steps (duration cut slack)
+        # every event lands in exactly one sub-batch, in order
+        assert bounds[0][0] == 0 and bounds[-1][1] == 56_000
+        assert all(b[1] == c[0] for b, c in zip(bounds, bounds[1:]))
+
+        # non-adaptive callers (host-loop fallback) keep the fixed cap
+        bounds_f, cap_f = tr._subbatch_bounds(t_dense, adaptive=False)
+        assert cap_f == 5_000
+        assert all(hi - lo <= 5_000 for lo, hi in bounds_f)
+
+        # disabled via max_window_steps=0
+        tr0 = EventTracker(TrackerParams(max_window_steps=0))
+        _, cap0 = tr0._subbatch_bounds(t_dense)
+        assert cap0 == 5_000
