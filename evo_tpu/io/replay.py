@@ -220,6 +220,37 @@ def cut_subwindows(
     return out
 
 
+def interpolate_gt_batch(gt_t_us: np.ndarray, gt_poses: np.ndarray,
+                         ts: np.ndarray):
+    """Vectorized `interpolate_gt`: poses [N, 7] and a validity mask [N]
+    for a whole timestamp array in ONE jitted geodesic-interpolation call.
+    The per-point variant costs a jit dispatch per call, which made scoring
+    a 30 s trajectory (~1e5 points) slower than producing it."""
+    import jax
+    import jax.numpy as jnp
+
+    from evo_tpu.core import lie
+
+    ts = np.asarray(ts, np.int64)
+    n = len(gt_t_us)
+    if n == 0:
+        return np.zeros((len(ts), 7)), np.zeros(len(ts), bool)
+    valid = (ts >= gt_t_us[0]) & (ts <= gt_t_us[-1])
+    i = np.clip(np.searchsorted(gt_t_us, ts, side="left"), 1, n - 1)
+    lo, hi = i - 1, i
+    denom = (gt_t_us[hi] - gt_t_us[lo]).astype(np.float64)
+    alpha = np.where(
+        denom > 0, (ts - gt_t_us[lo]) / np.maximum(denom, 1.0), 0.0
+    )
+    # searchsorted 'left' puts an exact hit AT i: alpha=1 reproduces it;
+    # ts == gt_t_us[0] clips to i=1 with alpha=0 — both match the scalar path
+    out = np.asarray(jax.vmap(lie.se3_interpolate)(
+        jnp.asarray(gt_poses[lo]), jnp.asarray(gt_poses[hi]),
+        jnp.asarray(alpha, jnp.float32),
+    ), np.float64)
+    return out, valid
+
+
 def interpolate_gt(gt_t_us: np.ndarray, gt_poses: np.ndarray, t_us: int):
     """SE(3)-interpolated ground-truth pose at time t_us, or None when out of
     range — the reference's `syncGtAndImage` (`visual_odometry.cpp:522-561`).

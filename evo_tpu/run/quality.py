@@ -15,11 +15,11 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from evo_tpu.core import camera, lie
-from evo_tpu.io.replay import interpolate_gt
 
 
 @dataclasses.dataclass
@@ -52,38 +52,99 @@ def _raycast_plane(pose_w_c, intr, pix, plane_depth: float,
     return o + t_best * d
 
 
+def _raycast_plane_batch(poses, intr, pix, plane_depth: float,
+                         scene: str = "plane"):
+    """Vectorized `_raycast_plane`: [T, 7] poses + [T, 2] pixels → [T, 3]
+    world hits, matching the scalar path's nearest-positive-plane rule."""
+    import jax
+
+    bear = np.asarray(camera.unproject(intr, jnp.asarray(pix, jnp.float32)))
+    R = np.asarray(jax.vmap(lie.quat_to_matrix)(
+        jnp.asarray(poses[:, 0:4], jnp.float32)))
+    o = np.asarray(poses[:, 4:7], np.float64)
+    d = np.einsum("tij,tj->ti", R.astype(np.float64), bear.astype(np.float64))
+    planes = [(2, plane_depth)]
+    if scene == "3walls":
+        planes += [(0, 0.4 * plane_depth), (1, 0.3 * plane_depth)]
+    t_best = np.full(len(poses), np.inf)
+    for axis, level in planes:
+        da = d[:, axis]
+        dn = np.where(np.abs(da) > 1e-9, da, 1e-9)
+        tt = (level - o[:, axis]) / dn
+        t_best = np.where((tt > 1e-3) & (tt < t_best), tt, t_best)
+    return o + t_best[:, None] * d
+
+
+@jax.jit
+def _reproj_errors_jit(poses, ws, pix, intr):
+    """[N] reprojection distances + camera-frame depths for N (pose, world
+    point, observed pixel) triples — the whole trajectory set in ONE call
+    (the per-point loop cost two jit dispatches per trajectory entry, which
+    made scoring a 30 s run slower than producing it)."""
+
+    def one(pose, w, p):
+        p_c = lie.se3_apply(lie.se3_inverse(pose), w)
+        pr = camera.project(intr, p_c)
+        return jnp.hypot(pr[0] - p[0], pr[1] - p[1]), p_c[2]
+
+    return jax.vmap(one)(poses, ws, pix)
+
+
 def evaluate_tracker(trajectories: dict, gt_t_us: np.ndarray,
                      gt_poses: np.ndarray, calib, plane_depth: float,
                      min_points: int = 3, scene: str = "plane") -> TrackerQuality:
-    """Score feature tracks against plane-raycast ground truth."""
+    """Score feature tracks against plane-raycast ground truth.
+
+    Fully batched: GT interpolation, birth-ray raycasts, and reprojection
+    errors each run as one vectorized call over every track/point; the
+    per-track semantics (skip out-of-GT-range points, skip behind-camera
+    points at z <= 0.1, mean error per track, age = last - first) match the
+    reference's evaluation loop point for point."""
+    from evo_tpu.io.replay import interpolate_gt_batch
+
     intr = jnp.asarray(calib.to_array())
-    errors = {}
-    ages = []
-    for tid, traj in trajectories.items():
-        if len(traj) < min_points:
-            continue
-        t0, x0, y0 = traj[0]
-        pose0 = interpolate_gt(gt_t_us, gt_poses, int(t0))
-        if pose0 is None:
-            continue
-        w = _raycast_plane(pose0, intr, np.array([x0, y0]), plane_depth, scene)
-        errs = []
+    items = [(tid, traj) for tid, traj in trajectories.items()
+             if len(traj) >= min_points]
+    if not items:
+        return TrackerQuality(np.nan, np.nan, 0.0, 0, {})
+
+    birth_t = np.array([traj[0][0] for _, traj in items], np.int64)
+    birth_xy = np.array([[traj[0][1], traj[0][2]] for _, traj in items])
+    pose0s, valid0 = interpolate_gt_batch(gt_t_us, gt_poses, birth_t)
+    items = [it for it, ok in zip(items, valid0) if ok]
+    if not items:
+        return TrackerQuality(np.nan, np.nan, 0.0, 0, {})
+    pose0s, birth_xy = pose0s[valid0], birth_xy[valid0]
+    ws = _raycast_plane_batch(pose0s, intr, birth_xy, plane_depth, scene)
+
+    # flatten every track's post-birth points with a track index
+    track_idx, ts, xy = [], [], []
+    for k, (_, traj) in enumerate(items):
         for t_us, x, y in traj[1:]:
-            pose = interpolate_gt(gt_t_us, gt_poses, int(t_us))
-            if pose is None:
-                continue
-            p_c = np.asarray(
-                lie.se3_apply(
-                    lie.se3_inverse(jnp.asarray(pose, jnp.float32)),
-                    jnp.asarray(w, jnp.float32),
-                )
-            )
-            if p_c[2] <= 0.1:
-                continue
-            true_pix = np.asarray(camera.project(intr, jnp.asarray(p_c)))
-            errs.append(float(np.hypot(true_pix[0] - x, true_pix[1] - y)))
-        if errs:
-            errors[tid] = float(np.mean(errs))
+            track_idx.append(k)
+            ts.append(t_us)
+            xy.append((x, y))
+    track_idx = np.asarray(track_idx, np.int64)
+    ts = np.asarray(ts, np.int64)
+    xy = np.asarray(xy, np.float64)
+    poses, valid = interpolate_gt_batch(gt_t_us, gt_poses, ts)
+    track_idx, xy, poses = track_idx[valid], xy[valid], poses[valid]
+    errs, z = _reproj_errors_jit(
+        jnp.asarray(poses, jnp.float32),
+        jnp.asarray(ws[track_idx], jnp.float32),
+        jnp.asarray(xy, jnp.float32), intr,
+    )
+    errs, z = np.asarray(errs, np.float64), np.asarray(z)
+    front = z > 0.1
+    track_idx, errs = track_idx[front], errs[front]
+
+    T = len(items)
+    counts = np.bincount(track_idx, minlength=T)
+    sums = np.bincount(track_idx, weights=errs, minlength=T)
+    errors, ages = {}, []
+    for k, (tid, traj) in enumerate(items):
+        if counts[k]:
+            errors[tid] = float(sums[k] / counts[k])
             ages.append((traj[-1][0] - traj[0][0]) / 1e6)
     if not errors:
         return TrackerQuality(np.nan, np.nan, 0.0, 0, {})

@@ -91,3 +91,84 @@ def test_death_breakdown_attribution():
     assert out["short"] == 1
     assert out["interior_lost_mean_age_s"] == 3.0
     assert death_breakdown({}) == {}
+
+
+def test_vectorized_scorer_matches_scalar_oracle():
+    """The batched evaluate_tracker (one jit call for all points) must
+    reproduce the per-point scalar algorithm exactly: same track set, same
+    per-track means, same ages, same out-of-range/behind-camera skips."""
+    import jax.numpy as jnp
+
+    from evo_tpu.core import camera, lie
+    from evo_tpu.core.types import CalibParams
+    from evo_tpu.io.replay import interpolate_gt, interpolate_gt_batch
+    from evo_tpu.run import quality
+
+    rng = np.random.default_rng(0)
+    calib = CalibParams(fx=199.0, fy=198.0, cx=119.5, cy=89.5,
+                        width=240, height=180)
+    intr = jnp.asarray(calib.to_array())
+    gt_t = (np.arange(0, 41) * 50_000).astype(np.int64)
+    gt_p = np.zeros((41, 7))
+    gt_p[:, 0] = 1.0
+    gt_p[:, 4] = 0.1 * np.sin(np.arange(41) * 0.3)
+    gt_p[:, 5] = 0.05 * np.cos(np.arange(41) * 0.2)
+
+    # batch GT interpolation == scalar (incl. exact hits and boundaries)
+    ts = rng.integers(0, 2_000_000, 200)
+    bp, ok = interpolate_gt_batch(gt_t, gt_p, ts)
+    for i in range(0, 200, 23):
+        sp = interpolate_gt(gt_t, gt_p, int(ts[i]))
+        assert ok[i] and sp is not None
+        np.testing.assert_allclose(bp[i], sp, atol=1e-5)
+    for t in (int(gt_t[0]), int(gt_t[-1]), int(gt_t[7])):
+        b, _ = interpolate_gt_batch(gt_t, gt_p, np.array([t]))
+        np.testing.assert_allclose(b[0], interpolate_gt(gt_t, gt_p, t),
+                                   atol=1e-6)
+    assert not interpolate_gt_batch(gt_t, gt_p,
+                                    np.array([-5, 2_000_001]))[1].any()
+
+    trajs = {}
+    for tid in range(25):
+        t0 = int(rng.integers(0, 1_000_000))
+        n = int(rng.integers(3, 20))
+        tsr = np.sort(rng.integers(t0, 2_000_000, n))
+        xs = rng.uniform(20, 220, n)
+        ys = rng.uniform(20, 160, n)
+        trajs[tid] = [(int(t), float(x), float(y))
+                      for t, x, y in zip(tsr, xs, ys)]
+    q = quality.evaluate_tracker(trajs, gt_t, gt_p, calib,
+                                 plane_depth=2.0, scene="3walls")
+
+    errors, ages = {}, []
+    for tid, traj in trajs.items():
+        if len(traj) < 3:
+            continue
+        t0, x0, y0 = traj[0]
+        pose0 = interpolate_gt(gt_t, gt_p, int(t0))
+        if pose0 is None:
+            continue
+        w = quality._raycast_plane(pose0, intr, np.array([x0, y0]),
+                                   2.0, "3walls")
+        errs = []
+        for t_us, x, y in traj[1:]:
+            pose = interpolate_gt(gt_t, gt_p, int(t_us))
+            if pose is None:
+                continue
+            p_c = np.asarray(lie.se3_apply(
+                lie.se3_inverse(jnp.asarray(pose, jnp.float32)),
+                jnp.asarray(w, jnp.float32)))
+            if p_c[2] <= 0.1:
+                continue
+            tp = np.asarray(camera.project(intr, jnp.asarray(p_c)))
+            errs.append(float(np.hypot(tp[0] - x, tp[1] - y)))
+        if errs:
+            errors[tid] = float(np.mean(errs))
+            ages.append((traj[-1][0] - traj[0][0]) / 1e6)
+
+    assert set(q.per_track_error) == set(errors)
+    for tid in errors:
+        np.testing.assert_allclose(q.per_track_error[tid], errors[tid],
+                                   rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(q.mean_feature_age_s, np.mean(ages),
+                               atol=1e-9)
